@@ -1,0 +1,352 @@
+"""Layered configuration system (dataclass-based).
+
+Replaces the reference's hydra + habitat OmegaConf + detectron2 CfgNode stack
+(ref: confs/train_policy.yaml, confs/habitat/gibson_goal_exploration.yaml,
+experimenting_env/utils/predictor_utils.py:68-86) with a single typed tree of
+dataclasses. Configs are plain python values, so they can be closed over by
+jit'd functions as static structure; YAML overlays and `a.b.c=value` dotlist
+overrides are supported for CLI parity with the reference entry points.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# The 6 target object classes. The reference keys them by COCO ids
+# {57 couch, 58 plant, 59 bed, 60 table, 61 toilet, 62 tv}
+# (ref: experimenting_env/sensor_data.py:291-357, class BBSense).
+# ---------------------------------------------------------------------------
+COCO_CLASS_IDS: Tuple[int, ...] = (57, 58, 59, 60, 61, 62)
+CLASS_NAMES: Tuple[str, ...] = ("couch", "plant", "bed", "table", "toilet", "tv")
+NUM_CLASSES = len(CLASS_NAMES)
+COCO_TO_LOCAL: Dict[int, int] = {c: i for i, c in enumerate(COCO_CLASS_IDS)}
+LOCAL_TO_COCO: Dict[int, int] = {i: c for i, c in enumerate(COCO_CLASS_IDS)}
+
+
+@dataclass
+class SensorConfig:
+    """Camera / sensor geometry (ref: confs/habitat/gibson_goal_exploration.yaml:96-116)."""
+
+    height: int = 256
+    width: int = 256
+    hfov_deg: float = 79.0
+    min_depth: float = 0.5
+    max_depth: float = 15.0
+    # vertical offset of the camera above the agent base
+    # (ref: sensor_data.py:52 AGENT_TO_SENSOR_TRANSLATION = [0, 0.88, 0])
+    camera_height: float = 0.88
+
+
+@dataclass
+class SimConfig:
+    """Built-in raycast simulator (habitat-sim replacement on host/TPU)."""
+
+    backend: str = "raycast"  # raycast | replay
+    scene_seed: int = 0
+    scene_size: float = 12.0  # square room extent in meters
+    num_objects: int = 12
+    max_boxes: int = 64  # static capacity of scene AABB set
+    episode_steps: int = 300  # ref: gibson_goal_exploration.yaml:15
+    forward_step: float = 0.25
+    turn_angle_deg: float = 10.0
+    replay_dir: Optional[str] = None  # for backend="replay"
+
+
+@dataclass
+class VitConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    pool_queries: int = 256  # attentional pooler queries (CoCa-style)
+    pool_heads: int = 8
+    embed_dim: int = 768  # contrastive projection dim
+
+
+@dataclass
+class TextDecoderConfig:
+    context_length: int = 77
+    vocab_size: int = 1024  # self-contained BPE vocab (see models/tokenizer.py)
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    cross_layers: int = 12  # multimodal (cross-attention) layers
+    mlp_ratio: float = 4.0
+
+
+@dataclass
+class CaptionerConfig:
+    """CoCa-class captioner (ViT encoder + unimodal/multimodal text decoder).
+
+    Dimensions for preset "large" follow the reference's coca_ViT-L-14 shape
+    (ref: captioner/models/coca/model_configs/coca_ViT-L-14.json); "tiny" is
+    the test preset.
+    """
+
+    vision: VitConfig = field(default_factory=VitConfig)
+    text: TextDecoderConfig = field(default_factory=TextDecoderConfig)
+    max_caption_len: int = 30  # ref: coca_model.py:209 (seq_len=30)
+    dtype: str = "bfloat16"
+
+    @staticmethod
+    def tiny() -> "CaptionerConfig":
+        return CaptionerConfig(
+            vision=VitConfig(
+                image_size=64, patch_size=8, width=64, layers=2, heads=2,
+                pool_queries=16, pool_heads=2, embed_dim=64,
+            ),
+            text=TextDecoderConfig(
+                context_length=32, vocab_size=1024, width=64, heads=2,
+                layers=2, cross_layers=2,
+            ),
+            max_caption_len=12,
+        )
+
+    @staticmethod
+    def base() -> "CaptionerConfig":
+        return CaptionerConfig(
+            vision=VitConfig(
+                image_size=224, patch_size=16, width=768, layers=12, heads=12,
+                pool_queries=128, pool_heads=8, embed_dim=512,
+            ),
+            text=TextDecoderConfig(
+                context_length=77, vocab_size=1024, width=512, heads=8,
+                layers=6, cross_layers=6,
+            ),
+        )
+
+    @staticmethod
+    def large() -> "CaptionerConfig":
+        return CaptionerConfig()
+
+
+@dataclass
+class SentenceEncoderConfig:
+    """MiniLM-class sentence embedder (SBERT all-MiniLM-L6-v2 shape:
+    6 layers, width 384, 12 heads, mean pooling)."""
+
+    vocab_size: int = 1024
+    width: int = 384
+    layers: int = 6
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    max_len: int = 64
+    embed_dim: int = 384
+
+    @staticmethod
+    def tiny() -> "SentenceEncoderConfig":
+        return SentenceEncoderConfig(width=64, layers=2, heads=2, max_len=32,
+                                     embed_dim=384)
+
+
+@dataclass
+class DetectorConfig:
+    """FPN + RPN + ROI instance segmenter, fixed-shape XLA design
+    (replaces detectron2 Mask R-CNN / HF Mask2Former,
+    ref: utils/predictor_utils.py:210-379)."""
+
+    image_size: int = 256  # square input to the detector
+    backbone_width: int = 64
+    backbone_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    fpn_dim: int = 128
+    num_classes: int = NUM_CLASSES
+    pre_nms_topk: int = 256
+    num_proposals: int = 64  # rois pooled after RPN top-k
+    max_detections: int = 16  # padded detections per frame
+    roi_size: int = 7
+    mask_roi_size: int = 14
+    mask_size: int = 28
+    score_threshold: float = 0.5
+    nms_iou_threshold: float = 0.5
+    dtype: str = "bfloat16"
+
+    @staticmethod
+    def tiny() -> "DetectorConfig":
+        return DetectorConfig(
+            image_size=64, backbone_width=16, backbone_depths=(1, 1, 1, 1),
+            fpn_dim=32, pre_nms_topk=64, num_proposals=16, max_detections=8,
+        )
+
+
+@dataclass
+class MapConfig:
+    """3D semantic voxel map (ref: utils/projection_utils.py:312-925)."""
+
+    voxel_size: float = 0.05  # ref: projection_utils.py:339 (thr=0.05)
+    map_scale: float = 0.025  # topdown raster (ref: get_topdown_semantic)
+    grid: Tuple[int, int, int] = (256, 64, 256)  # X (x), Y (height), Z
+    max_objects: int = 128
+    max_views_per_object: int = 16  # caption-embedding capacity per object
+    embed_dim: int = 384
+    num_classes: int = NUM_CLASSES
+    solution: str = "max"  # seal | bayesian | ours | avg | max
+    height_thresh: Tuple[float, float] = (2.0, 5.0)  # grid-y voxel units band
+    cc_connectivity: int = 26
+
+    @staticmethod
+    def tiny() -> "MapConfig":
+        return MapConfig(grid=(64, 16, 64), max_objects=32,
+                         max_views_per_object=8)
+
+
+@dataclass
+class PolicyConfig:
+    """Global exploration policy (ref: agents/model.py:18-72)."""
+
+    map_size: int = 128  # input maps resized to map_size x map_size
+    input_channels: int = 2
+    hidden: int = 256
+    orientation_bins: int = 72
+    recurrent: bool = False
+    action_space: str = "box2"  # (x, y) in [0,1]^2 map goal
+
+
+@dataclass
+class PPOConfig:
+    """PPO hyperparameters (ref: confs/habitat/gibson_goal_exploration.yaml:188-210)."""
+
+    clip_param: float = 0.2
+    ppo_epoch: int = 4
+    num_mini_batch: int = 2
+    value_loss_coef: float = 0.5
+    entropy_coef: float = 0.001
+    lr: float = 2.5e-4
+    eps: float = 1e-5
+    max_grad_norm: float = 0.5
+    gamma: float = 0.99
+    tau: float = 0.95
+    use_gae: bool = True
+    num_global_steps: int = 20
+    replanning_steps: int = 80
+    reward_scale: float = 1e-3  # disagreement sum / 1000 (ref: env_habitat3.py:75-84)
+
+
+@dataclass
+class RuntimeConfig:
+    """Execution / parallelism."""
+
+    num_envs: int = 4
+    detector_batch: int = 8  # ref: goal_exploration.py:77
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    seed: int = 7
+    obs_dir: Optional[str] = None  # where to save npz observations
+    checkpoint_dir: Optional[str] = None
+    save_periodic: int = 100
+    log_interval: int = 10
+
+
+@dataclass
+class ExperimentConfig:
+    """Root config (mirrors the reference's hydra root confs/train_policy.yaml)."""
+
+    trainer_name: str = "goalexplorationbaseline-v0"
+    mode: str = "generate"  # train | generate
+    preset: str = "tiny"  # tiny | base | large
+    sensors: SensorConfig = field(default_factory=SensorConfig)
+    sim: SimConfig = field(default_factory=SimConfig)
+    captioner: CaptionerConfig = field(default_factory=CaptionerConfig.tiny)
+    sentence_encoder: SentenceEncoderConfig = field(
+        default_factory=SentenceEncoderConfig.tiny)
+    detector: DetectorConfig = field(default_factory=DetectorConfig.tiny)
+    map: MapConfig = field(default_factory=MapConfig.tiny)
+    policy: PolicyConfig = field(default_factory=PolicyConfig)
+    ppo: PPOConfig = field(default_factory=PPOConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    @staticmethod
+    def preset_config(name: str = "tiny") -> "ExperimentConfig":
+        cfg = ExperimentConfig(preset=name)
+        if name == "tiny":
+            pass  # defaults above
+        elif name == "base":
+            cfg.captioner = CaptionerConfig.base()
+            cfg.sentence_encoder = SentenceEncoderConfig()
+            cfg.detector = DetectorConfig()
+            cfg.map = MapConfig()
+        elif name == "large":
+            cfg.captioner = CaptionerConfig.large()
+            cfg.sentence_encoder = SentenceEncoderConfig()
+            cfg.detector = DetectorConfig()
+            cfg.map = MapConfig()
+        else:
+            raise ValueError(f"unknown preset {name!r}")
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# Generic dataclass <-> dict plumbing, overlays, and dotlist overrides
+# ---------------------------------------------------------------------------
+
+def to_dict(cfg: Any) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    if isinstance(cfg, dict):
+        return {k: to_dict(v) for k, v in cfg.items()}
+    return cfg
+
+
+def merge(cfg: Any, overlay: Dict[str, Any]) -> Any:
+    """Return a copy of dataclass `cfg` with values from nested dict overlay."""
+    out = copy.deepcopy(cfg)
+    for key, value in overlay.items():
+        if not hasattr(out, key):
+            raise KeyError(f"unknown config key {key!r} on {type(out).__name__}")
+        cur = getattr(out, key)
+        if is_dataclass(cur) and isinstance(value, dict):
+            setattr(out, key, merge(cur, value))
+        else:
+            fld = {f.name: f for f in fields(out)}[key]
+            if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+            setattr(out, key, value)
+            _ = fld
+    return out
+
+
+def _parse_value(text: str) -> Any:
+    try:
+        return json.loads(text)
+    except (json.JSONDecodeError, ValueError):
+        return text
+
+
+def apply_dotlist(cfg: Any, overrides: List[str]) -> Any:
+    """Apply `a.b.c=value` CLI overrides (hydra-style)."""
+    overlay: Dict[str, Any] = {}
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like a.b.c=value")
+        path, raw = item.split("=", 1)
+        node = overlay
+        keys = path.split(".")
+        for key in keys[:-1]:
+            node = node.setdefault(key, {})
+        node[keys[-1]] = _parse_value(raw)
+    return merge(cfg, overlay)
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    import yaml  # lazy; pyyaml ships with the baked-in stack
+
+    with open(path) as fh:
+        return yaml.safe_load(fh) or {}
+
+
+def load_config(preset: str = "tiny", yaml_path: Optional[str] = None,
+                overrides: Optional[List[str]] = None) -> ExperimentConfig:
+    cfg = ExperimentConfig.preset_config(preset)
+    if yaml_path:
+        cfg = merge(cfg, load_yaml(yaml_path))
+    if overrides:
+        cfg = apply_dotlist(cfg, overrides)
+    return cfg

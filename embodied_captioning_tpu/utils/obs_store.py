@@ -1,0 +1,148 @@
+"""Observation store: npz file-per-(episode, step, modality, camera).
+
+Byte-compatible with the reference schema
+``episode_%06d_step_%05d_modality_%s_id_%d.npz``
+(ref: experimenting_env/utils/sensors_utils.py:14-65) so recorded episodes can
+be exchanged between the two systems. Also provides :class:`SampleLoader`,
+the directory indexer used as the offline "fake simulator" backend
+(ref: experimenting_env/replay.py:40-116).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+FILENAME_RE = re.compile(
+    r"episode_(?P<episode>\d+)_step_(?P<step>\d+)_modality_(?P<mod>[A-Za-z0-9]+)_id_(?P<camera_id>\d+)\.npz$"
+)
+
+
+@dataclass
+class SenseInfo:
+    """Identity of one stored observation (ref: sensors_utils.py:14-27)."""
+
+    base_path: str
+    mod: str
+    episode: int = 0
+    camera_id: int = 0
+    step: int = 0
+
+    def get_path(self) -> str:
+        return os.path.join(
+            self.base_path,
+            f"episode_{self.episode:06d}_step_{self.step:05d}"
+            f"_modality_{self.mod}_id_{self.camera_id}.npz",
+        )
+
+
+def get_sense_info(path: str) -> SenseInfo:
+    """Parse a stored observation path back into a SenseInfo
+    (ref: sensors_utils.py:30-38)."""
+    m = FILENAME_RE.search(os.path.basename(path))
+    if not m:
+        raise ValueError(f"not an observation path: {path}")
+    return SenseInfo(
+        base_path=os.path.dirname(path),
+        mod=m.group("mod"),
+        episode=int(m.group("episode")),
+        camera_id=int(m.group("camera_id")),
+        step=int(m.group("step")),
+    )
+
+
+def save_obs(exp_path: str, episode_id: int, observations: Dict[str, Any],
+             timestamp: int, compressed: bool = True) -> List[str]:
+    """Save one step's observations, one npz per modality
+    (ref: sensors_utils.py:41-65). `observations` maps modality code -> payload;
+    camera_id is the enumeration index, matching the reference."""
+    os.makedirs(exp_path, exist_ok=True)
+    paths = []
+    for camera_id, (modality, payload) in enumerate(observations.items()):
+        info = SenseInfo(exp_path, modality, int(episode_id), camera_id,
+                         int(timestamp))
+        path = info.get_path()
+        if hasattr(payload, "raw"):
+            payload = payload.raw()
+        saver = np.savez_compressed if compressed else np.savez
+        saver(path, payload)
+        paths.append(path)
+    return paths
+
+
+class SampleLoader:
+    """Index an experiment directory into
+    ``paths[episode][camera][modality][step]`` (ref: replay.py:40-116)."""
+
+    def __init__(self, exp_path: str):
+        self.exp_path = exp_path
+        self.paths: Dict[int, Dict[int, Dict[str, Dict[int, str]]]] = {}
+        self._load_paths()
+
+    def _load_paths(self) -> None:
+        for root, _dirs, files in os.walk(self.exp_path):
+            for fname in sorted(files):
+                m = FILENAME_RE.search(fname)
+                if not m:
+                    continue
+                ep = int(m.group("episode"))
+                cam = int(m.group("camera_id"))
+                mod = m.group("mod")
+                step = int(m.group("step"))
+                self.paths.setdefault(ep, {}).setdefault(cam, {}).setdefault(
+                    mod, {}
+                )[step] = os.path.join(root, fname)
+
+    # -- queries ----------------------------------------------------------
+    @property
+    def episodes(self) -> List[int]:
+        return sorted(self.paths)
+
+    def cameras(self, episode: int) -> List[int]:
+        return sorted(self.paths.get(episode, {}))
+
+    def modalities(self, episode: int, camera: int = 0) -> List[str]:
+        return sorted(self.paths.get(episode, {}).get(camera, {}))
+
+    def steps(self, episode: int, camera: int = 0,
+              modality: Optional[str] = None) -> List[int]:
+        mods = self.paths.get(episode, {}).get(camera, {})
+        if modality is not None:
+            return sorted(mods.get(modality, {}))
+        common: Optional[set] = None
+        for steps in mods.values():
+            common = set(steps) if common is None else common & set(steps)
+        return sorted(common or [])
+
+    def get_path(self, episode: int, camera: int, modality: str,
+                 step: int) -> str:
+        return self.paths[episode][camera][modality][step]
+
+    def get_sample(self, episode: int, camera: int, modality: str, step: int):
+        from ..sensor_data import get_class_from_modality_code
+
+        path = self.get_path(episode, camera, modality, step)
+        return get_class_from_modality_code(modality).load(path)
+
+    def iter_steps(self, episode: int, camera: int = 0,
+                   modalities: Optional[Iterable[str]] = None):
+        """Yield (step, {modality: Sense}) over steps where all requested
+        modalities exist."""
+        mods = list(modalities or self.modalities(episode, camera))
+        step_sets = [set(self.steps(episode, camera, m)) for m in mods]
+        common = sorted(set.intersection(*step_sets)) if step_sets else []
+        for step in common:
+            yield step, {m: self.get_sample(episode, camera, m, step)
+                         for m in mods}
+
+    def __len__(self) -> int:
+        return sum(
+            len(steps)
+            for cams in self.paths.values()
+            for mods in cams.values()
+            for steps in mods.values()
+        )
