@@ -28,7 +28,7 @@ COCO_TO_LOCAL: Dict[int, int] = {c: i for i, c in enumerate(COCO_CLASS_IDS)}
 LOCAL_TO_COCO: Dict[int, int] = {i: c for i, c in enumerate(COCO_CLASS_IDS)}
 
 
-@dataclass
+@dataclass(frozen=True)
 class SensorConfig:
     """Camera / sensor geometry (ref: confs/habitat/gibson_goal_exploration.yaml:96-116)."""
 
@@ -42,7 +42,7 @@ class SensorConfig:
     camera_height: float = 0.88
 
 
-@dataclass
+@dataclass(frozen=True)
 class SimConfig:
     """Built-in raycast simulator (habitat-sim replacement on host/TPU)."""
 
@@ -57,7 +57,7 @@ class SimConfig:
     replay_dir: Optional[str] = None  # for backend="replay"
 
 
-@dataclass
+@dataclass(frozen=True)
 class VitConfig:
     image_size: int = 224
     patch_size: int = 14
@@ -70,7 +70,7 @@ class VitConfig:
     embed_dim: int = 768  # contrastive projection dim
 
 
-@dataclass
+@dataclass(frozen=True)
 class TextDecoderConfig:
     context_length: int = 77
     vocab_size: int = 1024  # self-contained BPE vocab (see models/tokenizer.py)
@@ -81,7 +81,7 @@ class TextDecoderConfig:
     mlp_ratio: float = 4.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class CaptionerConfig:
     """CoCa-class captioner (ViT encoder + unimodal/multimodal text decoder).
 
@@ -127,7 +127,7 @@ class CaptionerConfig:
         return CaptionerConfig()
 
 
-@dataclass
+@dataclass(frozen=True)
 class SentenceEncoderConfig:
     """MiniLM-class sentence embedder (SBERT all-MiniLM-L6-v2 shape:
     6 layers, width 384, 12 heads, mean pooling)."""
@@ -146,7 +146,7 @@ class SentenceEncoderConfig:
                                      embed_dim=384)
 
 
-@dataclass
+@dataclass(frozen=True)
 class DetectorConfig:
     """FPN + RPN + ROI instance segmenter, fixed-shape XLA design
     (replaces detectron2 Mask R-CNN / HF Mask2Former,
@@ -175,7 +175,7 @@ class DetectorConfig:
         )
 
 
-@dataclass
+@dataclass(frozen=True)
 class MapConfig:
     """3D semantic voxel map (ref: utils/projection_utils.py:312-925)."""
 
@@ -196,7 +196,7 @@ class MapConfig:
                          max_views_per_object=8)
 
 
-@dataclass
+@dataclass(frozen=True)
 class PolicyConfig:
     """Global exploration policy (ref: agents/model.py:18-72)."""
 
@@ -208,7 +208,7 @@ class PolicyConfig:
     action_space: str = "box2"  # (x, y) in [0,1]^2 map goal
 
 
-@dataclass
+@dataclass(frozen=True)
 class PPOConfig:
     """PPO hyperparameters (ref: confs/habitat/gibson_goal_exploration.yaml:188-210)."""
 
@@ -228,7 +228,7 @@ class PPOConfig:
     reward_scale: float = 1e-3  # disagreement sum / 1000 (ref: env_habitat3.py:75-84)
 
 
-@dataclass
+@dataclass(frozen=True)
 class RuntimeConfig:
     """Execution / parallelism."""
 
@@ -243,7 +243,7 @@ class RuntimeConfig:
     log_interval: int = 10
 
 
-@dataclass
+@dataclass(frozen=True)
 class ExperimentConfig:
     """Root config (mirrors the reference's hydra root confs/train_policy.yaml)."""
 
@@ -263,22 +263,18 @@ class ExperimentConfig:
 
     @staticmethod
     def preset_config(name: str = "tiny") -> "ExperimentConfig":
-        cfg = ExperimentConfig(preset=name)
         if name == "tiny":
-            pass  # defaults above
-        elif name == "base":
-            cfg.captioner = CaptionerConfig.base()
-            cfg.sentence_encoder = SentenceEncoderConfig()
-            cfg.detector = DetectorConfig()
-            cfg.map = MapConfig()
-        elif name == "large":
-            cfg.captioner = CaptionerConfig.large()
-            cfg.sentence_encoder = SentenceEncoderConfig()
-            cfg.detector = DetectorConfig()
-            cfg.map = MapConfig()
-        else:
-            raise ValueError(f"unknown preset {name!r}")
-        return cfg
+            return ExperimentConfig(preset=name)
+        if name in ("base", "large"):
+            return ExperimentConfig(
+                preset=name,
+                captioner=(CaptionerConfig.base() if name == "base"
+                           else CaptionerConfig.large()),
+                sentence_encoder=SentenceEncoderConfig(),
+                detector=DetectorConfig(),
+                map=MapConfig(),
+            )
+        raise ValueError(f"unknown preset {name!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -296,21 +292,21 @@ def to_dict(cfg: Any) -> Any:
 
 
 def merge(cfg: Any, overlay: Dict[str, Any]) -> Any:
-    """Return a copy of dataclass `cfg` with values from nested dict overlay."""
-    out = copy.deepcopy(cfg)
+    """Return a copy of (frozen) dataclass `cfg` with values from a nested
+    dict overlay applied."""
+    updates: Dict[str, Any] = {}
+    names = {f.name for f in fields(cfg)}
     for key, value in overlay.items():
-        if not hasattr(out, key):
-            raise KeyError(f"unknown config key {key!r} on {type(out).__name__}")
-        cur = getattr(out, key)
+        if key not in names:
+            raise KeyError(f"unknown config key {key!r} on {type(cfg).__name__}")
+        cur = getattr(cfg, key)
         if is_dataclass(cur) and isinstance(value, dict):
-            setattr(out, key, merge(cur, value))
+            updates[key] = merge(cur, value)
         else:
-            fld = {f.name: f for f in fields(out)}[key]
             if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
                 value = tuple(value)
-            setattr(out, key, value)
-            _ = fld
-    return out
+            updates[key] = value
+    return dataclasses.replace(cfg, **updates)
 
 
 def _parse_value(text: str) -> Any:

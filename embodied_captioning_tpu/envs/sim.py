@@ -1,0 +1,389 @@
+"""Built-in simulator: procedural indoor scenes rendered by analytic
+ray-AABB casting, on device.
+
+habitat-sim (C++/OpenGL) is the reference's scene source
+(ref: experimenting_env/envs/env_habitat3.py; README.md:33-38 installs it via
+conda). It is not available here and is external to the framework either way,
+so the framework ships two scene backends behind one protocol:
+
+  RaycastSim  procedural rooms with furniture of the 6 target classes,
+              rendered fully in JAX: one jit'd program computes RGB-D +
+              per-pixel instance ids for a *batch of envs* in a single
+              launch (the TPU replaces habitat's 20 CPU worker processes,
+              ref: gibson_goal_exploration.yaml:163-165).
+  ReplaySim   recorded-npz episodes via utils.obs_store.SampleLoader — the
+              reference's own offline substitute for a live simulator
+              (ref: replay.py:40-116).
+
+Scenes are static AABB sets with per-box class/instance/albedo; rendering is
+exact (no marching): slab-test every ray against every box, take the nearest
+hit, shade lambertian + hash-noise texture. 256x256x64 boxes is ~4 GFLOP-ish
+of pure VPU work — negligible next to the perception stack.
+
+Geometry conventions match habitat: +Y up, agent yaw about +Y, camera looks
+down -Z (see ops/geometry.py). GT detections mirror the reference's
+`object_detector_gt` sensor (instances from the semantic sensor, min-pixels
+filter; ref: envs/sensors.py:101-234).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLASS_NAMES, NUM_CLASSES, SensorConfig, SimConfig
+from ..ops.detections import Detections, boxes_from_masks
+from ..sensor_data import Pose, quat_from_yaw
+
+AGENT_RADIUS = 0.2
+AGENT_HEIGHT = 0.88  # camera height above floor (sensor_data offset)
+
+
+class Scene(NamedTuple):
+    """Static AABB scene, padded to max_boxes."""
+
+    box_min: jnp.ndarray    # [B, 3]
+    box_max: jnp.ndarray    # [B, 3]
+    albedo: jnp.ndarray     # [B, 3] float 0..1
+    class_id: jnp.ndarray   # [B] int32 local class, -1 = structure
+    instance_id: jnp.ndarray  # [B] int32 unique per object, -1 = structure
+    valid: jnp.ndarray      # [B]
+    lower: jnp.ndarray      # [3] scene bounds
+    upper: jnp.ndarray      # [3]
+
+
+# object footprint (w, h, d ranges in meters) per class
+_OBJ_DIMS = {
+    "couch": ((1.4, 2.2), (0.7, 0.9), (0.8, 1.0)),
+    "plant": ((0.3, 0.6), (0.5, 1.4), (0.3, 0.6)),
+    "bed": ((1.4, 2.0), (0.5, 0.7), (1.9, 2.2)),
+    "table": ((0.8, 1.8), (0.7, 0.8), (0.8, 1.2)),
+    "toilet": ((0.4, 0.5), (0.7, 0.8), (0.6, 0.7)),
+    "tv": ((0.9, 1.6), (0.6, 0.9), (0.1, 0.15)),
+}
+_OBJ_COLORS = {
+    "couch": (0.55, 0.27, 0.15), "plant": (0.13, 0.55, 0.13),
+    "bed": (0.66, 0.66, 0.86), "table": (0.52, 0.37, 0.26),
+    "toilet": (0.92, 0.92, 0.95), "tv": (0.08, 0.08, 0.1),
+}
+
+
+def generate_scene(cfg: SimConfig, seed: Optional[int] = None) -> Scene:
+    """Procedural room: floor, 4 walls, ceiling, `num_objects` furniture
+    boxes with non-overlapping footprints."""
+    rng = np.random.default_rng(cfg.scene_seed if seed is None else seed)
+    size = cfg.scene_size
+    wall_h = 2.6
+    t = 0.15  # structure thickness
+    mins: List[np.ndarray] = []
+    maxs: List[np.ndarray] = []
+    albs: List[Tuple[float, float, float]] = []
+    clss: List[int] = []
+    inst: List[int] = []
+
+    def add(mn, mx, alb, cls=-1, iid=-1):
+        mins.append(np.asarray(mn, np.float32))
+        maxs.append(np.asarray(mx, np.float32))
+        albs.append(alb)
+        clss.append(cls)
+        inst.append(iid)
+
+    # floor / ceiling / walls
+    add([0, -t, 0], [size, 0, size], (0.75, 0.72, 0.68))
+    add([0, wall_h, 0], [size, wall_h + t, size], (0.9, 0.9, 0.9))
+    add([-t, 0, -t], [0, wall_h, size + t], (0.85, 0.83, 0.8))
+    add([size, 0, -t], [size + t, wall_h, size + t], (0.85, 0.83, 0.8))
+    add([-t, 0, -t], [size + t, wall_h, 0], (0.8, 0.8, 0.78))
+    add([-t, 0, size], [size + t, wall_h, size + t], (0.8, 0.8, 0.78))
+
+    # a couple of interior wall segments for occlusion structure
+    for _ in range(2):
+        if rng.random() < 0.5:
+            x0 = rng.uniform(0.25, 0.7) * size
+            z0 = rng.uniform(0.1, 0.5) * size
+            add([x0, 0, z0], [x0 + t, wall_h, z0 + rng.uniform(0.2, 0.4) * size],
+                (0.82, 0.8, 0.78))
+        else:
+            x0 = rng.uniform(0.1, 0.5) * size
+            z0 = rng.uniform(0.25, 0.7) * size
+            add([x0, 0, z0], [x0 + rng.uniform(0.2, 0.4) * size, wall_h, z0 + t],
+                (0.82, 0.8, 0.78))
+
+    # furniture
+    placed: List[Tuple[float, float, float, float]] = []
+    iid = 0
+    tries = 0
+    while iid < cfg.num_objects and tries < 200:
+        tries += 1
+        cls = int(rng.integers(0, NUM_CLASSES))
+        name = CLASS_NAMES[cls]
+        (w0, w1), (h0, h1), (d0, d1) = _OBJ_DIMS[name]
+        w, h, d = rng.uniform(w0, w1), rng.uniform(h0, h1), rng.uniform(d0, d1)
+        x = rng.uniform(0.5, size - 0.5 - w)
+        z = rng.uniform(0.5, size - 0.5 - d)
+        rect = (x - 0.3, z - 0.3, x + w + 0.3, z + d + 0.3)
+        if any(not (rect[2] < r[0] or rect[0] > r[2] or rect[3] < r[1]
+                    or rect[1] > r[3]) for r in placed):
+            continue
+        placed.append(rect)
+        base = np.asarray(_OBJ_COLORS[name])
+        alb = tuple(np.clip(base + rng.normal(0, 0.06, 3), 0.02, 0.98))
+        y0 = 0.0
+        if name == "tv":
+            y0 = rng.uniform(0.6, 1.2)  # mounted
+        add([x, y0, z], [x + w, y0 + h, z + d], alb, cls, iid)
+        iid += 1
+
+    n = len(mins)
+    assert n <= cfg.max_boxes, f"scene has {n} boxes > capacity"
+    pad = cfg.max_boxes - n
+    box_min = np.stack(mins + [np.zeros(3, np.float32)] * pad)
+    box_max = np.stack(maxs + [np.zeros(3, np.float32)] * pad)
+    albedo = np.asarray(albs + [(0, 0, 0)] * pad, np.float32)
+    class_id = np.asarray(clss + [-1] * pad, np.int32)
+    instance_id = np.asarray(inst + [-1] * pad, np.int32)
+    valid = np.asarray([True] * n + [False] * pad)
+    return Scene(
+        box_min=jnp.asarray(box_min), box_max=jnp.asarray(box_max),
+        albedo=jnp.asarray(albedo), class_id=jnp.asarray(class_id),
+        instance_id=jnp.asarray(instance_id), valid=jnp.asarray(valid),
+        lower=jnp.asarray([-t, -t, -t], jnp.float32),
+        upper=jnp.asarray([size + t, wall_h + t, size + t], jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rendering
+# ---------------------------------------------------------------------------
+
+
+def _hash_noise(p: jnp.ndarray) -> jnp.ndarray:
+    """Cheap value noise from world position (texture variety)."""
+    q = jnp.sin(p[..., 0] * 12.9898 + p[..., 1] * 78.233 + p[..., 2] * 37.719)
+    return (q * 43758.5453) % 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "hfov_deg"))
+def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
+           hfov_deg: float, max_depth: float = 15.0):
+    """Render one camera.
+
+    Args:
+      pose: [4, 4] T_world_cam (camera looks down -Z).
+
+    Returns dict: rgb [H, W, 3] uint8, depth [H, W] f32 meters (euclidean-z,
+    habitat-style planar depth), instances [H, W] i32 per-pixel instance id
+    (-1 none), classes [H, W] i32 (-1 none).
+    """
+    from ..ops.geometry import intrinsics_from_hfov
+
+    fx, fy, xc, yc = intrinsics_from_hfov(height, width, hfov_deg)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    # camera-frame ray directions (unit z = -1 plane)
+    dx = (xs - xc) / fx
+    dy = -(ys - yc) / fy
+    dirs_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)  # [H, W, 3]
+    R = pose[:3, :3].astype(jnp.float32)
+    origin = pose[:3, 3].astype(jnp.float32)
+    dirs = dirs_cam @ R.T  # [H, W, 3] world
+
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-8,
+                          jnp.where(dirs >= 0, 1e-8, -1e-8), dirs)
+    # slab test against all boxes: [H, W, B]
+    t0 = (scene.box_min[None, None] - origin) * inv[:, :, None, :]
+    t1 = (scene.box_max[None, None] - origin) * inv[:, :, None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 1e-4) & scene.valid[None, None]
+    t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
+    best = jnp.argmin(t_hit, axis=-1)               # [H, W]
+    t_best = jnp.take_along_axis(t_hit, best[..., None], axis=-1)[..., 0]
+    valid = jnp.isfinite(t_best)
+
+    # planar depth (distance along camera -Z), habitat depth convention
+    z_cam = t_best  # dirs_cam has z = -1 ... depth = t * 1 (z component)
+    depth = jnp.where(valid, jnp.minimum(z_cam, max_depth), max_depth)
+
+    # shading
+    p_hit = origin + dirs * t_best[..., None]
+    bmin = scene.box_min[best]
+    bmax = scene.box_max[best]
+    # face normal: axis where the hit point touches a slab
+    eps = 1e-3
+    nx = jnp.where(jnp.abs(p_hit[..., 0] - bmin[..., 0]) < eps, -1.0,
+                   jnp.where(jnp.abs(p_hit[..., 0] - bmax[..., 0]) < eps, 1.0,
+                             0.0))
+    ny = jnp.where(jnp.abs(p_hit[..., 1] - bmin[..., 1]) < eps, -1.0,
+                   jnp.where(jnp.abs(p_hit[..., 1] - bmax[..., 1]) < eps, 1.0,
+                             0.0))
+    nz = jnp.where(jnp.abs(p_hit[..., 2] - bmin[..., 2]) < eps, -1.0,
+                   jnp.where(jnp.abs(p_hit[..., 2] - bmax[..., 2]) < eps, 1.0,
+                             0.0))
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    nn = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
+    normal = normal / nn
+    light = jnp.asarray([0.4, 0.8, 0.45])
+    light = light / jnp.linalg.norm(light)
+    lambert = jnp.clip(jnp.sum(normal * light, axis=-1), 0.0, 1.0)
+    tex = 0.9 + 0.1 * _hash_noise(jnp.floor(p_hit * 7.0))
+    shade = (0.35 + 0.65 * lambert) * tex
+    rgb = scene.albedo[best] * shade[..., None]
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+
+    instances = jnp.where(valid, scene.instance_id[best], -1)
+    classes = jnp.where(valid, scene.class_id[best], -1)
+    return {"rgb": rgb_u8, "depth": depth, "instances": instances,
+            "classes": classes}
+
+
+render_batch = jax.jit(
+    jax.vmap(render, in_axes=(0, 0, None, None, None, None)),
+    static_argnums=(2, 3, 4, 5))
+
+
+@functools.partial(jax.jit, static_argnames=("max_instances", "min_pixels"))
+def gt_detections(instances: jnp.ndarray, classes: jnp.ndarray,
+                  max_instances: int = 16, min_pixels: int = 300
+                  ) -> Detections:
+    """Per-pixel instance/class ids -> padded GT Detections with full-frame
+    masks and one-hot logits (parity with the `object_detector_gt` sensor's
+    semantic-to-instances path + min-area filter,
+    ref: envs/sensors.py:101-234; the reference filters masks < 1000 px at
+    1280^2 — min_pixels scales with resolution)."""
+    ids = jnp.arange(max_instances)
+    masks = instances[None, :, :] == ids[:, None, None]  # [M, H, W]
+    areas = jnp.sum(masks, axis=(1, 2))
+    valid = areas >= min_pixels
+    big = jnp.int32(1 << 30)
+    # class of each instance: min over pixels (uniform anyway)
+    cls = jnp.min(jnp.where(masks, jnp.where(classes[None] < 0, big,
+                                             classes[None]), big), axis=(1, 2))
+    cls = jnp.where(valid, cls, 0).astype(jnp.int32)
+    boxes = boxes_from_masks(masks.astype(jnp.float32), valid)
+    logits = jax.nn.one_hot(cls, NUM_CLASSES) * valid[:, None]
+    return Detections(
+        boxes=boxes, classes=cls * valid,
+        scores=valid.astype(jnp.float32), logits=logits, valid=valid,
+        masks=masks.astype(jnp.float32),
+        object_ids=jnp.where(valid, ids, -1).astype(jnp.int32),
+        episode_ids=jnp.full((max_instances,), -1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agent state + motion (host-side, trivially cheap)
+# ---------------------------------------------------------------------------
+
+# habitat-style discrete actions (ref: habitat default action space used by
+# the baselines: 0 STOP, 1 MOVE_FORWARD 0.25m, 2 TURN_LEFT 10deg,
+# 3 TURN_RIGHT 10deg)
+ACTION_STOP = 0
+ACTION_FORWARD = 1
+ACTION_LEFT = 2
+ACTION_RIGHT = 3
+
+
+class AgentState:
+    def __init__(self, x: float, z: float, yaw: float):
+        self.x = x
+        self.z = z
+        self.yaw = yaw  # radians about +Y; yaw=0 faces -Z
+
+    def pose(self) -> Pose:
+        return Pose(np.array([self.x, 0.0, self.z]), quat_from_yaw(self.yaw))
+
+    def camera_matrix(self) -> np.ndarray:
+        return self.pose().camera_pose().matrix()
+
+
+class RaycastSim:
+    """Host wrapper around one procedural scene: motion, collision,
+    traversability grid, shortest paths."""
+
+    def __init__(self, sim_cfg: SimConfig, sensor_cfg: SensorConfig,
+                 seed: Optional[int] = None):
+        self.cfg = sim_cfg
+        self.sensors = sensor_cfg
+        self.scene = generate_scene(sim_cfg, seed)
+        self._scene_np = jax.tree_util.tree_map(np.asarray, self.scene)
+        self.agent = self._spawn(np.random.default_rng(
+            (seed if seed is not None else sim_cfg.scene_seed) + 1234))
+        self.last_positions: List[np.ndarray] = []
+
+    # -- collision / traversability --------------------------------------
+    def _blocked(self, x: float, z: float) -> bool:
+        s = self._scene_np
+        for i in range(len(s.valid)):
+            if not s.valid[i] or s.class_id[i] < -1:
+                continue
+            mn, mx = s.box_min[i], s.box_max[i]
+            if mx[1] <= 0.05 or mn[1] > AGENT_HEIGHT + 0.4:
+                continue  # floor/ceiling/mounted don't block
+            if (x > mn[0] - AGENT_RADIUS and x < mx[0] + AGENT_RADIUS
+                    and z > mn[2] - AGENT_RADIUS and z < mx[2] + AGENT_RADIUS):
+                return True
+        size = self.cfg.scene_size
+        return not (AGENT_RADIUS < x < size - AGENT_RADIUS
+                    and AGENT_RADIUS < z < size - AGENT_RADIUS)
+
+    def _spawn(self, rng) -> AgentState:
+        for _ in range(100):
+            x = rng.uniform(0.5, self.cfg.scene_size - 0.5)
+            z = rng.uniform(0.5, self.cfg.scene_size - 0.5)
+            if not self._blocked(x, z):
+                return AgentState(x, z, rng.uniform(0, 2 * np.pi))
+        return AgentState(self.cfg.scene_size / 2, self.cfg.scene_size / 2, 0.0)
+
+    def traversability(self, resolution: float = 0.1) -> np.ndarray:
+        """[H, W] uint8 free-space grid (rows = z, cols = x) — the navmesh
+        replacement backing get_path (ref: env_base.py get_path uses
+        habitat_sim.ShortestPath)."""
+        n = int(self.cfg.scene_size / resolution)
+        grid = np.zeros((n, n), np.uint8)
+        for iz in range(n):
+            for ix in range(n):
+                grid[iz, ix] = 0 if self._blocked((ix + 0.5) * resolution,
+                                                  (iz + 0.5) * resolution) else 1
+        return grid
+
+    # -- stepping ---------------------------------------------------------
+    def step(self, action: int) -> bool:
+        """Apply one discrete action; returns True if a collision blocked
+        the move (agent_collision_sensor semantics: movement < 0.15 m,
+        ref: envs/sensors.py:866-906)."""
+        a = self.agent
+        self.last_positions.append(np.array([a.x, a.z]))
+        if action == ACTION_FORWARD:
+            nx = a.x - np.sin(a.yaw) * self.cfg.forward_step
+            nz = a.z - np.cos(a.yaw) * self.cfg.forward_step
+            if self._blocked(nx, nz):
+                return True
+            a.x, a.z = float(nx), float(nz)
+        elif action == ACTION_LEFT:
+            a.yaw += np.deg2rad(self.cfg.turn_angle_deg)
+        elif action == ACTION_RIGHT:
+            a.yaw -= np.deg2rad(self.cfg.turn_angle_deg)
+        return False
+
+    # -- observation ------------------------------------------------------
+    def observe(self) -> Dict[str, np.ndarray]:
+        pose = jnp.asarray(self.agent.camera_matrix(), jnp.float32)
+        out = render(self.scene, pose, self.sensors.height,
+                     self.sensors.width, self.sensors.hfov_deg,
+                     self.sensors.max_depth)
+        return out
+
+    def gt_detections(self, obs: Dict[str, jnp.ndarray],
+                      max_instances: int = 16) -> Detections:
+        min_px = max(50, (self.sensors.height * self.sensors.width) // 2184)
+        return gt_detections(obs["instances"], obs["classes"],
+                             max_instances=max_instances, min_pixels=min_px)
+
+    def bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        return (np.asarray(self.scene.lower), np.asarray(self.scene.upper))

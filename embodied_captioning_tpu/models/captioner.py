@@ -1,0 +1,231 @@
+"""CoCa-class image captioner: ViT encoder + unimodal text decoder +
+multimodal cross-attention decoder, with KV-cached autoregressive generation.
+
+Architecture parity with the reference's vendored open_clip CoCa
+(ref: captioner/models/coca/coca_model.py:205-333): text tower produces
+token features + a CLS text embedding (contrastive head); the multimodal
+tower cross-attends pooled image tokens and predicts the next token.
+
+The decisive TPU improvement over the reference: generation uses a KV cache
+and decodes a whole *batch of crops* in one `lax.scan` (the reference re-runs
+the full decoder per token with no cache — SURVEY.md §5 flags this as the
+single biggest latency win). Per-step logits are returned for perplexity
+(ref: captioner/captioning_predictor.py:34-47).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaptionerConfig
+from .common import (
+    KVCache, Params, block, block_init, causal_mask, dense, dense_init,
+    embedding_init, layernorm, layernorm_init,
+)
+from .tokenizer import BOS_ID, EOS_ID, PAD_ID
+from .vit import attentional_pool, encode_image, init_vit, vit_features
+
+
+def init_captioner(key, cfg: CaptionerConfig) -> Params:
+    kv, kt, km, ke, kc, kp = jax.random.split(key, 6)
+    t = cfg.text
+    text_blocks = [block_init(jax.random.fold_in(kt, i), t.width, t.heads,
+                              t.mlp_ratio) for i in range(t.layers)]
+    mm_blocks = [block_init(jax.random.fold_in(km, i), t.width, t.heads,
+                            t.mlp_ratio, cross_dim=cfg.vision.width)
+                 for i in range(t.cross_layers)]
+    return {
+        "vision": init_vit(kv, cfg.vision),
+        "tok_emb": embedding_init(ke, t.vocab_size, t.width),
+        "pos_emb": jax.random.normal(kp, (t.context_length, t.width)) * 0.01,
+        "text_blocks": text_blocks,
+        "mm_blocks": mm_blocks,
+        "ln_text": layernorm_init(t.width),
+        "ln_mm": layernorm_init(t.width),
+        "text_proj": dense_init(kc, t.width, cfg.vision.embed_dim),
+        "head": dense_init(jax.random.fold_in(kc, 1), t.width, t.vocab_size),
+        "logit_scale": jnp.asarray(2.659, jnp.float32),  # ln(1/0.07)
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward (training) path
+# ---------------------------------------------------------------------------
+
+def _text_tower(params: Params, tokens: jnp.ndarray, cfg: CaptionerConfig,
+                ) -> jnp.ndarray:
+    t = tokens.shape[1]
+    x = params["tok_emb"][tokens] + params["pos_emb"][None, :t]
+    mask = causal_mask(t)
+    for blk in params["text_blocks"]:
+        x, _ = block(blk, x, cfg.text.heads, mask=mask)
+    return layernorm(params["ln_text"], x)
+
+
+def _mm_tower(params: Params, text_feats: jnp.ndarray, img_tokens: jnp.ndarray,
+              heads: int) -> jnp.ndarray:
+    t = text_feats.shape[1]
+    mask = causal_mask(t)
+    x = text_feats
+    for blk in params["mm_blocks"]:
+        x, _ = block(blk, x, heads, mask=mask, cross=img_tokens)
+    return layernorm(params["ln_mm"], x)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def forward(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
+            cfg: CaptionerConfig):
+    """Training forward: returns (logits [B, T, V], image_emb [B, E],
+    text_emb [B, E]) for captioning + contrastive losses."""
+    pooled, img_emb = encode_image(params["vision"], images_u8, cfg.vision)
+    text_feats = _text_tower(params, tokens, cfg)
+    mm = _mm_tower(params, text_feats, pooled, cfg.text.heads)
+    logits = dense(params["head"], mm)
+    # text embedding: feature at the last non-pad position (CLS-by-EOS)
+    lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1) - 1
+    pooled_txt = jnp.take_along_axis(
+        text_feats, lengths[:, None, None].clip(0), axis=1)[:, 0]
+    txt_emb = dense(params["text_proj"], pooled_txt)
+    txt_emb = txt_emb / jnp.maximum(
+        jnp.linalg.norm(txt_emb, axis=-1, keepdims=True), 1e-8)
+    return logits, img_emb, txt_emb
+
+
+def caption_loss(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
+                 cfg: CaptionerConfig, contrastive_weight: float = 1.0,
+                 caption_weight: float = 2.0):
+    """CoCa loss = captioning CE + CLIP-style contrastive
+    (open_clip CoCa training objective)."""
+    logits, img_emb, txt_emb = forward(params, images_u8, tokens, cfg)
+    # next-token CE over non-pad targets
+    targets = tokens[:, 1:]
+    pred = logits[:, :-1]
+    mask = (targets != PAD_ID).astype(jnp.float32)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    # contrastive
+    scale = jnp.exp(params["logit_scale"])
+    sim = scale * img_emb @ txt_emb.T
+    n = sim.shape[0]
+    labels = jnp.arange(n)
+    con = 0.5 * (
+        -jnp.mean(jax.nn.log_softmax(sim, axis=1)[labels, labels])
+        - jnp.mean(jax.nn.log_softmax(sim, axis=0)[labels, labels]))
+    return caption_weight * ce + contrastive_weight * con, {
+        "caption_ce": ce, "contrastive": con}
+
+
+# ---------------------------------------------------------------------------
+# KV-cached generation
+# ---------------------------------------------------------------------------
+
+class GenState(NamedTuple):
+    tokens: jnp.ndarray       # [B, L] generated ids (BOS at 0)
+    logits: jnp.ndarray       # [B, L, V] per-step logits (for perplexity)
+    finished: jnp.ndarray     # [B]
+    text_caches: Tuple[KVCache, ...]
+    mm_caches: Tuple[KVCache, ...]
+    key: jnp.ndarray
+
+
+def _decode_step(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
+                 img_tokens: jnp.ndarray,
+                 text_caches, mm_caches, cfg: CaptionerConfig):
+    """One cached decoder step: tok [B] -> logits [B, V]."""
+    x = params["tok_emb"][tok][:, None, :] + params["pos_emb"][pos][None, None]
+    new_tc = []
+    for blk, c in zip(params["text_blocks"], text_caches):
+        x, c = block(blk, x, cfg.text.heads, cache=c)
+        new_tc.append(c)
+    x = layernorm(params["ln_text"], x)
+    new_mc = []
+    for blk, c in zip(params["mm_blocks"], mm_caches):
+        x, c = block(blk, x, cfg.text.heads, cross=img_tokens, cache=c)
+        new_mc.append(c)
+    x = layernorm(params["ln_mm"], x)
+    logits = dense(params["head"], x)[:, 0]
+    return logits, tuple(new_tc), tuple(new_mc)
+
+
+def _sample(logits: jnp.ndarray, key, top_k: int, top_p: float,
+            temperature: float) -> jnp.ndarray:
+    """top-k/top-p/temperature sampling; greedy if temperature == 0
+    (HF LogitsProcessor semantics, matching the reference's generate,
+    ref: coca_model.py:205-333)."""
+    logits = logits.astype(jnp.float32)
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    v = logits.shape[-1]
+    if 0 < top_k < v:
+        kth = jnp.sort(logits, axis=-1)[:, v - top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if 0.0 < top_p < 1.0:
+        sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)
+        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_len", "top_k", "top_p", "temperature"))
+def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
+             max_len: Optional[int] = None, top_k: int = 0, top_p: float = 0.0,
+             temperature: float = 0.0):
+    """Batched KV-cached caption generation.
+
+    Args:
+      images_u8: [B, H, W, 3] uint8 crops.
+
+    Returns (tokens [B, L] int32 incl. BOS, step_logits [B, L-1, V],
+    lengths [B] int32). Finished rows emit PAD after EOS.
+    """
+    max_len = max_len or cfg.max_caption_len
+    b = images_u8.shape[0]
+    t = cfg.text
+    pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
+    head_dim = t.width // t.heads
+    tc = tuple(KVCache.create(b, max_len, t.heads, head_dim)
+               for _ in range(t.layers))
+    mc = tuple(KVCache.create(b, max_len, t.heads, head_dim)
+               for _ in range(t.cross_layers))
+
+    def step(carry, pos):
+        tok, finished, tc, mc, key = carry
+        logits, tc, mc = _decode_step(params, tok, pos, pooled, tc, mc, cfg)
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, top_k, top_p, temperature).astype(jnp.int32)
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        finished = finished | (nxt == EOS_ID)
+        return (nxt, finished, tc, mc, key), (nxt, logits)
+
+    tok0 = jnp.full((b,), BOS_ID, jnp.int32)
+    fin0 = jnp.zeros((b,), bool)
+    (_, _, _, _, _), (toks, step_logits) = jax.lax.scan(
+        step, (tok0, fin0, tc, mc, key), jnp.arange(max_len - 1))
+    tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
+    step_logits = jnp.moveaxis(step_logits, 0, 1)  # [B, L-1, V]
+    lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1)
+    return tokens, step_logits, lengths
+
+
+def perplexity(step_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """exp(mean -log p(chosen)) over decode steps, per sequence
+    (ref: captioner/captioning_predictor.py:34-47 computes it from the
+    stepwise max-prob logits)."""
+    chosen = tokens[:, 1:]
+    logp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, chosen[..., None], axis=-1)[..., 0]
+    mask = (chosen != PAD_ID).astype(jnp.float32)
+    mean_nll = jnp.sum(nll * mask, axis=1) / jnp.maximum(
+        jnp.sum(mask, axis=1), 1.0)
+    return jnp.exp(mean_nll)

@@ -1,0 +1,199 @@
+"""Shared neural-net building blocks (functional JAX, explicit param pytrees).
+
+Design: params are nested dicts of jnp arrays created by ``init_*`` functions;
+forward passes are pure functions taking (params, inputs, ...). No framework
+module state — everything composes under jit/vmap/scan/pjit, and KV caches are
+explicit operands so autoregressive decoding is a `lax.scan` over a pure step.
+
+Matmuls run in bfloat16 on the MXU with float32 accumulation
+(`preferred_element_type`); params stay float32 (master copy).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def dense_init(key, d_in: int, d_out: int, scale: Optional[float] = None
+               ) -> Params:
+    scale = scale if scale is not None else 1.0 / math.sqrt(d_in)
+    return {
+        "w": jax.random.normal(key, (d_in, d_out), jnp.float32) * scale,
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    y = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def layernorm_init(dim: int) -> Params:
+    return {"g": jnp.ones((dim,), jnp.float32),
+            "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def embedding_init(key, vocab: int, dim: int) -> jnp.ndarray:
+    return jax.random.normal(key, (vocab, dim), jnp.float32) * 0.02
+
+
+# ---------------------------------------------------------------------------
+# Attention with optional KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Per-layer KV cache: fixed-capacity ring written at `index`.
+
+    k, v: [B, T_max, H, Dh]; index: [] int32 (next write position).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    index: jnp.ndarray
+
+    @staticmethod
+    def create(batch: int, t_max: int, heads: int, head_dim: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        return KVCache(
+            k=jnp.zeros((batch, t_max, heads, head_dim), dtype),
+            v=jnp.zeros((batch, t_max, heads, head_dim), dtype),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+def mha_init(key, dim: int, heads: int, kv_dim: Optional[int] = None) -> Params:
+    kv_dim = kv_dim or dim
+    del heads  # head count is threaded as a static argument to mha()
+    ks = jax.random.split(key, 4)
+    return {
+        "q": dense_init(ks[0], dim, dim),
+        "k": dense_init(ks[1], kv_dim, dim),
+        "v": dense_init(ks[2], kv_dim, dim),
+        "o": dense_init(ks[3], dim, dim, scale=1.0 / math.sqrt(dim)),
+    }
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, heads, d // heads)
+
+
+def mha(p: Params, x: jnp.ndarray, heads: int,
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        compute_dtype=jnp.bfloat16,
+        ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Multi-head attention.
+
+    Args:
+      x:  [B, Tq, D] queries source.
+      kv: [B, Tk, Dkv] keys/values source (defaults to x: self-attention).
+      mask: broadcastable to [B, H, Tq, Tk'] additive-style boolean mask
+        (True = attend). For cached decoding, Tk' is the cache capacity.
+      cache: if given, new K/V are appended at cache.index and attention runs
+        over the whole cache buffer (positions >= index+Tq are masked out).
+
+    Returns (out [B, Tq, D], updated cache or None).
+    """
+    kv_src = x if kv is None else kv
+    q = _split_heads(dense(p["q"], x, compute_dtype), heads)
+    k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+    v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+
+    if cache is not None:
+        tq = q.shape[1]
+        k_new = jax.lax.dynamic_update_slice(
+            cache.k, k.astype(cache.k.dtype), (0, cache.index, 0, 0))
+        v_new = jax.lax.dynamic_update_slice(
+            cache.v, v.astype(cache.v.dtype), (0, cache.index, 0, 0))
+        cache = KVCache(k_new, v_new, cache.index + tq)
+        k, v = k_new, v_new
+        t_max = k.shape[1]
+        pos = jnp.arange(t_max)[None, None, None, :]  # [1,1,1,Tk]
+        cache_mask = pos < cache.index
+        mask = cache_mask if mask is None else (mask & cache_mask)
+
+    dh = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
+                        k.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(compute_dtype),
+                     v.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    b, tq2, h, d2 = out.shape
+    out = out.reshape(b, tq2, h * d2)
+    return dense(p["o"], out, compute_dtype), cache
+
+
+def mlp_init(key, dim: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc": dense_init(k1, dim, hidden), "proj": dense_init(k2, hidden, dim)}
+
+
+def mlp(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    return dense(p["proj"], jax.nn.gelu(dense(p["fc"], x, compute_dtype)),
+                 compute_dtype)
+
+
+def block_init(key, dim: int, heads: int, mlp_ratio: float = 4.0,
+               cross_dim: Optional[int] = None) -> Params:
+    ks = jax.random.split(key, 3)
+    p = {
+        "ln1": layernorm_init(dim),
+        "attn": mha_init(ks[0], dim, heads),
+        "ln2": layernorm_init(dim),
+        "mlp": mlp_init(ks[1], dim, int(dim * mlp_ratio)),
+    }
+    if cross_dim is not None:
+        p["ln_x"] = layernorm_init(dim)
+        p["xattn"] = mha_init(ks[2], dim, heads, kv_dim=cross_dim)
+    return p
+
+
+def block(p: Params, x: jnp.ndarray, heads: int,
+          mask: Optional[jnp.ndarray] = None,
+          cross: Optional[jnp.ndarray] = None,
+          cache: Optional[KVCache] = None, compute_dtype=jnp.bfloat16,
+          ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Pre-LN transformer block with optional cross-attention sublayer."""
+    h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
+                   cache=cache, compute_dtype=compute_dtype)
+    x = x + h
+    if cross is not None and "xattn" in p:
+        h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
+                   compute_dtype=compute_dtype)
+        x = x + h
+    x = x + mlp(p["mlp"], layernorm(p["ln2"], x), compute_dtype)
+    return x, cache
+
+
+def causal_mask(t: int) -> jnp.ndarray:
+    """[1, 1, T, T] lower-triangular attend mask."""
+    return jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+
+def sinusoidal_positions(t: int, dim: int) -> jnp.ndarray:
+    pos = jnp.arange(t)[:, None].astype(jnp.float32)
+    i = jnp.arange(dim // 2)[None, :].astype(jnp.float32)
+    angle = pos / jnp.power(10000.0, 2 * i / dim)
+    return jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=-1)

@@ -1,0 +1,532 @@
+"""Instance detector: FPN backbone + RPN + ROI box/mask heads, XLA-native.
+
+Mask R-CNN-class design replacing the reference's detectron2/HF-Mask2Former
+stack (ref: experimenting_env/utils/predictor_utils.py:210-379 runtime
+detector; experimenting_env/detector/model/multi_stage_models.py:254-330
+trainable path; utils/roi_head_wrappers.py head-loss family). Everything is
+fixed-shape: `pre_nms_topk` proposals via top-k, `num_proposals` ROIs after
+NMS, `max_detections` padded outputs with validity masks — so the whole
+forward compiles to one XLA program with convs/matmuls in bfloat16 on the MXU.
+
+Output contract (parity with the reference's Predictor.forward postprocess,
+ref: predictor_utils.py:338-379): per frame a Detections struct with XYXY
+boxes, local classes 0..5, scores, per-class `logits` (the ref's `gt_logits`),
+and ROI masks pasted to full frame on demand.
+
+Head-loss variants (ref: utils/roi_head_wrappers.py):
+  ce         standard softmax CE (BoxPredictorWrapper)
+  soft       distillation on soft `gt_logits` w/ temperature+alpha
+             (SoftHeadWrapper :184-308)
+  focal      focal loss x10 (FocalHeadWrapper :311-364)
+  softfocal  focal on soft targets (SoftFocalHeadWrapper)
+  msefocal   MSE on probs + focal (MSEFocalHeadWrapper)
+MC-dropout inference (MonteCarloPredictor, predictor_utils.py:515-602) is
+provided by `forward_mc` with dropout rng.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig
+from ..ops.detections import Detections, pairwise_iou
+from ..ops.image import paste_masks, roi_align
+from ..ops.nms import class_aware_nms_topk, nms_topk
+from .common import Params, dense, dense_init
+
+# ---------------------------------------------------------------------------
+# conv primitives
+# ---------------------------------------------------------------------------
+
+
+def conv_init(key, k: int, c_in: int, c_out: int) -> Params:
+    fan_in = k * k * c_in
+    return {
+        "w": jax.random.normal(key, (k, k, c_in, c_out), jnp.float32)
+        * math.sqrt(2.0 / fan_in),
+        "b": jnp.zeros((c_out,), jnp.float32),
+    }
+
+
+def conv(p: Params, x: jnp.ndarray, stride: int = 1,
+         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    # bf16 in / bf16 out (MXU accumulates f32 internally); upcast after —
+    # mixed-dtype operands with preferred_element_type break the conv
+    # transpose rule, so the cast is explicit
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32) + p["b"]
+
+
+def gn_init(c: int) -> Params:
+    return {"g": jnp.ones((c,), jnp.float32), "b": jnp.zeros((c,), jnp.float32)}
+
+
+def groupnorm(p: Params, x: jnp.ndarray, groups: int = 8,
+              eps: float = 1e-5) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    g = min(groups, c)
+    x = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+    mean = jnp.mean(x, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(x, axis=(1, 2, 4), keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return x.reshape(n, h, w, c) * p["g"] + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+NUM_ANCHORS = len(ANCHOR_RATIOS)
+FPN_STRIDES = (4, 8, 16, 32)
+
+
+def init_detector(key, cfg: DetectorConfig) -> Params:
+    w = cfg.backbone_width
+    widths = [w, 2 * w, 4 * w, 8 * w]
+    ks = iter(jax.random.split(key, 64))
+    params: Params = {"stem": conv_init(next(ks), 3, 3, w),
+                      "stem_gn": gn_init(w)}
+    # residual stages
+    stages = []
+    c_in = w
+    for si, (depth, c_out) in enumerate(zip(cfg.backbone_depths, widths)):
+        blocks = []
+        for bi in range(depth):
+            blocks.append({
+                "c1": conv_init(next(ks), 3, c_in if bi == 0 else c_out, c_out),
+                "g1": gn_init(c_out),
+                "c2": conv_init(next(ks), 3, c_out, c_out),
+                "g2": gn_init(c_out),
+                "sc": (conv_init(next(ks), 1, c_in if bi == 0 else c_out,
+                                 c_out) if (bi == 0 and c_in != c_out)
+                       else None),
+            })
+        stages.append(blocks)
+        c_in = c_out
+    params["stages"] = stages
+    # FPN
+    d = cfg.fpn_dim
+    params["fpn_lat"] = [conv_init(next(ks), 1, c, d) for c in widths]
+    params["fpn_out"] = [conv_init(next(ks), 3, d, d) for _ in widths]
+    # RPN (shared across levels)
+    params["rpn_conv"] = conv_init(next(ks), 3, d, d)
+    params["rpn_obj"] = conv_init(next(ks), 1, d, NUM_ANCHORS)
+    params["rpn_box"] = conv_init(next(ks), 1, d, NUM_ANCHORS * 4)
+    # box head
+    roi_feat = cfg.roi_size * cfg.roi_size * d
+    params["box_fc1"] = dense_init(next(ks), roi_feat, 1024)
+    params["box_fc2"] = dense_init(next(ks), 1024, 1024)
+    params["cls"] = dense_init(next(ks), 1024, cfg.num_classes + 1, scale=0.01)
+    params["box"] = dense_init(next(ks), 1024, 4, scale=0.001)
+    # contrastive projection head (ref: multi_stage_models.py:73
+    # triplet.tinyprojection_MLP(1024, 128))
+    params["proj_fc"] = dense_init(next(ks), 1024, 512)
+    params["proj_out"] = dense_init(next(ks), 512, 128)
+    # mask head
+    params["mask_convs"] = [conv_init(next(ks), 3, d, d) for _ in range(4)]
+    params["mask_gns"] = [gn_init(d) for _ in range(4)]
+    params["mask_out"] = conv_init(next(ks), 1, d, cfg.num_classes)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# backbone + FPN
+# ---------------------------------------------------------------------------
+
+
+def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
+                 ) -> List[jnp.ndarray]:
+    """float images [B, S, S, 3] (0..1, normalized outside) -> FPN levels
+    P2..P5 at strides 4/8/16/32, each [B, S/s, S/s, fpn_dim]."""
+    x = jax.nn.relu(groupnorm(params["stem_gn"],
+                              conv(params["stem"], images, stride=2)))
+    # stride-2 max pool so stage outputs sit at strides 4/8/16/32 (matching
+    # FPN_STRIDES and the anchor grid)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), "SAME")
+    feats = []
+    for si, blocks in enumerate(params["stages"]):
+        for bi, blk in enumerate(blocks):
+            stride = 2 if (bi == 0 and si > 0) else 1
+            h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x,
+                                                      stride=stride)))
+            h = groupnorm(blk["g2"], conv(blk["c2"], h))
+            if stride == 2 or blk["sc"] is not None:
+                sc = x if blk["sc"] is None else conv(blk["sc"], x)
+                if stride == 2:
+                    sc = sc[:, ::2, ::2, :]
+            else:
+                sc = x
+            x = jax.nn.relu(h + sc)
+        feats.append(x)
+    # top-down FPN
+    lats = [conv(l, f) for l, f in zip(params["fpn_lat"], feats)]
+    outs = [None] * len(lats)
+    prev = lats[-1]
+    outs[-1] = conv(params["fpn_out"][-1], prev)
+    for i in range(len(lats) - 2, -1, -1):
+        up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+        prev = lats[i] + up
+        outs[i] = conv(params["fpn_out"][i], prev)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# anchors & box coding
+# ---------------------------------------------------------------------------
+
+
+def level_anchors(size: int, stride: int) -> jnp.ndarray:
+    """[Hl*Wl*A, 4] XYXY anchors for one level (scale 4*stride, 3 ratios)."""
+    hl = size // stride
+    ys = (jnp.arange(hl) + 0.5) * stride
+    xs = (jnp.arange(hl) + 0.5) * stride
+    cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
+    base = 4.0 * stride
+    anchors = []
+    for r in ANCHOR_RATIOS:
+        w = base * math.sqrt(1.0 / r)
+        h = base * math.sqrt(r)
+        anchors.append(jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2,
+                                  cy + h / 2], axis=-1))
+    return jnp.stack(anchors, axis=2).reshape(-1, 4)
+
+
+def all_anchors(size: int) -> jnp.ndarray:
+    return jnp.concatenate([level_anchors(size, s) for s in FPN_STRIDES],
+                           axis=0)
+
+
+def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
+                 size: int) -> jnp.ndarray:
+    """(dx, dy, dw, dh) deltas -> XYXY, clipped to the image."""
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = (anchors[:, 0] + anchors[:, 2]) / 2
+    ay = (anchors[:, 1] + anchors[:, 3]) / 2
+    dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
+    cx = ax + dx * aw
+    cy = ay + dy * ah
+    w = aw * jnp.exp(jnp.clip(dw, -4.0, 4.0))
+    h = ah * jnp.exp(jnp.clip(dh, -4.0, 4.0))
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                      axis=-1)
+    return jnp.clip(boxes, 0.0, size)
+
+
+def encode_boxes(anchors: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-3)
+    ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-3)
+    ax = (anchors[:, 0] + anchors[:, 2]) / 2
+    ay = (anchors[:, 1] + anchors[:, 3]) / 2
+    bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-3)
+    bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-3)
+    bx = (boxes[:, 0] + boxes[:, 2]) / 2
+    by = (boxes[:, 1] + boxes[:, 3]) / 2
+    return jnp.stack([(bx - ax) / aw, (by - ay) / ah, jnp.log(bw / aw),
+                      jnp.log(bh / ah)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+class DetectorIntermediates(NamedTuple):
+    proposals: jnp.ndarray       # [B, P, 4]
+    proposal_valid: jnp.ndarray  # [B, P]
+    roi_features: jnp.ndarray    # [B, P, 1024]
+    class_logits: jnp.ndarray    # [B, P, C+1]
+    box_deltas: jnp.ndarray      # [B, P, 4]
+    rpn_obj: jnp.ndarray         # [B, A_total]
+    rpn_deltas: jnp.ndarray      # [B, A_total, 4]
+    fpn: Any                     # list of level features
+
+
+def _rpn_head(params: Params, fpn: List[jnp.ndarray]):
+    objs, deltas = [], []
+    for f in fpn:
+        h = jax.nn.relu(conv(params["rpn_conv"], f))
+        o = conv(params["rpn_obj"], h)
+        d = conv(params["rpn_box"], h)
+        b = o.shape[0]
+        objs.append(o.reshape(b, -1))
+        deltas.append(d.reshape(b, -1, 4))
+    return jnp.concatenate(objs, axis=1), jnp.concatenate(deltas, axis=1)
+
+
+def _propose(obj: jnp.ndarray, deltas: jnp.ndarray, anchors: jnp.ndarray,
+             cfg: DetectorConfig):
+    """Per-image: top-k by objectness, decode, NMS -> [P, 4] proposals."""
+    k = cfg.pre_nms_topk
+    scores, idx = jax.lax.top_k(obj, k)
+    boxes = decode_boxes(anchors[idx], deltas[idx], cfg.image_size)
+    keep_idx, keep_ok = nms_topk(boxes, scores, 0.7, cfg.num_proposals)
+    props = boxes[keep_idx]
+    # degenerate boxes invalid
+    wh_ok = ((props[:, 2] - props[:, 0]) > 1.0) & \
+            ((props[:, 3] - props[:, 1]) > 1.0)
+    return props, keep_ok & wh_ok
+
+
+def _box_head(params: Params, fpn_p2: jnp.ndarray, proposals: jnp.ndarray,
+              cfg: DetectorConfig, dropout_rng=None, dropout_rate: float = 0.0):
+    """ROI-align on P2 + 2-FC head -> (features, class logits, box deltas)."""
+    feats = roi_align(fpn_p2, proposals, cfg.roi_size,
+                      spatial_scale=1.0 / FPN_STRIDES[0])
+    x = feats.reshape(proposals.shape[0], -1)
+    x = jax.nn.relu(dense(params["box_fc1"], x))
+    if dropout_rng is not None and dropout_rate > 0:
+        keep = jax.random.bernoulli(dropout_rng, 1 - dropout_rate, x.shape)
+        x = jnp.where(keep, x / (1 - dropout_rate), 0.0)
+    x = jax.nn.relu(dense(params["box_fc2"], x))
+    return x, dense(params["cls"], x), dense(params["box"], x)
+
+
+def project_features(params: Params, roi_features: jnp.ndarray) -> jnp.ndarray:
+    """128-d contrastive projection of ROI features (ref:
+    multi_stage_models.py:73,116-131), L2-normalized."""
+    h = jax.nn.relu(dense(params["proj_fc"], roi_features))
+    z = dense(params["proj_out"], h)
+    return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+
+
+def _mask_head(params: Params, fpn_p2: jnp.ndarray, boxes: jnp.ndarray,
+               classes: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
+    """[N, mask_size, mask_size] logits for the predicted class."""
+    x = roi_align(fpn_p2, boxes, cfg.mask_roi_size,
+                  spatial_scale=1.0 / FPN_STRIDES[0])
+    for cv, gn in zip(params["mask_convs"], params["mask_gns"]):
+        x = jax.nn.relu(groupnorm(gn, conv(cv, x)))
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # 14 -> 28
+    logits = conv(params["mask_out"], x)  # [N, m, m, C]
+    sel = jnp.clip(classes, 0, cfg.num_classes - 1)
+    return jnp.take_along_axis(
+        logits, sel[:, None, None, None], axis=-1)[..., 0]
+
+
+def _intermediates(params: Params, images: jnp.ndarray, cfg: DetectorConfig,
+                   dropout_rng=None, dropout_rate: float = 0.0
+                   ) -> DetectorIntermediates:
+    fpn = backbone_fpn(params, images, cfg)
+    obj, deltas = _rpn_head(params, fpn)
+    anchors = all_anchors(cfg.image_size)
+    props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
+        obj, deltas)
+    if dropout_rng is not None:
+        rngs = jax.random.split(dropout_rng, images.shape[0])
+    else:
+        rngs = [None] * images.shape[0]
+
+    def head(p2, pr, rng):
+        return _box_head(params, p2, pr, cfg, rng, dropout_rate)
+
+    if dropout_rng is not None:
+        feats, cls_logits, box_deltas = jax.vmap(head)(fpn[0], props, rngs)
+    else:
+        feats, cls_logits, box_deltas = jax.vmap(
+            lambda p2, pr: _box_head(params, p2, pr, cfg))(fpn[0], props)
+    return DetectorIntermediates(props, pvalid, feats, cls_logits, box_deltas,
+                                 obj, deltas, fpn)
+
+
+# ---------------------------------------------------------------------------
+# inference
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_masks"))
+def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
+            with_masks: bool = True) -> Detections:
+    """uint8 [B, S, S, 3] -> batched Detections (padded to max_detections).
+
+    Postprocess parity with the reference runtime detector
+    (ref: predictor_utils.py:338-379): score threshold, per-class NMS, local
+    classes 0..5, per-class probability vector in `logits`, ROI masks.
+    """
+    images = images_u8.astype(jnp.float32) / 255.0
+    inter = _intermediates(params, images, cfg)
+
+    def finalize(p2, props, pvalid, cls_logits, box_deltas):
+        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+        fg = probs[:, :-1]
+        scores = jnp.max(fg, axis=-1)
+        classes = jnp.argmax(fg, axis=-1).astype(jnp.int32)
+        boxes = decode_boxes(props, box_deltas, cfg.image_size)
+        ok = pvalid & (scores > cfg.score_threshold)
+        idx, keep = class_aware_nms_topk(boxes, scores, classes,
+                                         cfg.nms_iou_threshold,
+                                         cfg.max_detections, ok)
+        det_boxes = boxes[idx]
+        det_classes = classes[idx]
+        det_scores = scores[idx]
+        det_logits = fg[idx]
+        if with_masks:
+            det_masks = _mask_head(params, p2, det_boxes, det_classes, cfg)
+            det_masks = jax.nn.sigmoid(det_masks) * keep[:, None, None]
+        else:
+            det_masks = jnp.zeros((cfg.max_detections, cfg.mask_size,
+                                   cfg.mask_size))
+        return Detections(
+            boxes=det_boxes * keep[:, None], classes=det_classes * keep,
+            scores=det_scores * keep, logits=det_logits * keep[:, None],
+            valid=keep, masks=det_masks)
+
+    return jax.vmap(finalize)(inter.fpn[0], inter.proposals,
+                              inter.proposal_valid, inter.class_logits,
+                              inter.box_deltas)
+
+
+def full_masks(det: Detections, size: int) -> jnp.ndarray:
+    """Paste per-detection ROI masks to full frame [B, N, S, S]."""
+    return jax.vmap(lambda m, b: paste_masks(m, b, size, size))(
+        det.masks, det.boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "samples"))
+def forward_mc(params: Params, images_u8: jnp.ndarray, rng, cfg: DetectorConfig,
+               samples: int = 5, dropout_rate: float = 0.5):
+    """MC-dropout inference (ref: predictor_utils.py:515-602
+    MonteCarloPredictor + enable_dropout): `samples` stochastic passes of the
+    box head over shared proposals; returns per-proposal mean probs and
+    predictive std (epistemic uncertainty)."""
+    images = images_u8.astype(jnp.float32) / 255.0
+    fpn = backbone_fpn(params, images, cfg)
+    obj, deltas = _rpn_head(params, fpn)
+    anchors = all_anchors(cfg.image_size)
+    props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
+        obj, deltas)
+
+    def one(rng_i):
+        rngs = jax.random.split(rng_i, images.shape[0])
+        _, cls_logits, _ = jax.vmap(
+            lambda p2, pr, r: _box_head(params, p2, pr, cfg, r, dropout_rate)
+        )(fpn[0], props, rngs)
+        return jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+
+    probs = jax.vmap(one)(jax.random.split(rng, samples))  # [S, B, P, C+1]
+    return props, pvalid, probs.mean(0), probs.std(0)
+
+
+# ---------------------------------------------------------------------------
+# training losses
+# ---------------------------------------------------------------------------
+
+
+def _smooth_l1(x: jnp.ndarray, beta: float = 1.0 / 9.0) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def _focal(probs: jnp.ndarray, targets_onehot: jnp.ndarray,
+           gamma: float = 2.0, alpha: float = 0.25) -> jnp.ndarray:
+    """Multi-class focal loss on probabilities (kornia focal_loss semantics;
+    the reference multiplies it by 10, ref: roi_head_wrappers.py:311-364)."""
+    p = jnp.clip(probs, 1e-8, 1.0)
+    w = alpha * jnp.power(1.0 - p, gamma)
+    return -jnp.sum(targets_onehot * w * jnp.log(p), axis=-1)
+
+
+def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
+                  cfg: DetectorConfig, head: str = "ce",
+                  soft_temperature: float = 2.0, soft_alpha: float = 0.5,
+                  dropout_rng=None, dropout_rate: float = 0.0,
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Joint RPN + ROI-head loss on a batch with padded GT.
+
+    `head` selects the ROI classification loss family (see module docstring).
+    Soft heads read GT `logits` (teacher soft targets) instead of hard
+    classes (ref: roi_head_wrappers.py:184-364). Returns (total, aux dict).
+    """
+    images = images_u8.astype(jnp.float32) / 255.0
+    inter = _intermediates(params, images, cfg, dropout_rng, dropout_rate)
+    anchors = all_anchors(cfg.image_size)
+    b = images.shape[0]
+
+    def per_image(obj, deltas, props, pvalid, feats, cls_logits, box_deltas,
+                  gt_boxes, gt_classes, gt_valid, gt_soft):
+        # ---- RPN ----
+        iou = pairwise_iou(anchors, gt_boxes)          # [A, G]
+        iou = iou * gt_valid[None, :]
+        best_iou = jnp.max(iou, axis=1)
+        best_gt = jnp.argmax(iou, axis=1)
+        pos = best_iou > 0.7
+        # each gt's best anchor is positive too
+        best_anchor = jnp.argmax(iou, axis=0)          # [G]
+        pos = pos.at[best_anchor].set(jnp.where(gt_valid, True,
+                                                pos[best_anchor]))
+        neg = best_iou < 0.3
+        obj_t = pos.astype(jnp.float32)
+        obj_w = (pos | neg).astype(jnp.float32)
+        obj_loss = jnp.sum(
+            obj_w * (jnp.maximum(obj, 0) - obj * obj_t
+                     + jnp.log1p(jnp.exp(-jnp.abs(obj))))
+        ) / jnp.maximum(jnp.sum(obj_w), 1.0)
+        tgt_deltas = encode_boxes(anchors, gt_boxes[best_gt])
+        box_w = pos.astype(jnp.float32)[:, None]
+        rpn_box_loss = jnp.sum(_smooth_l1(deltas - tgt_deltas) * box_w) / \
+            jnp.maximum(jnp.sum(box_w) * 4, 1.0)
+
+        # ---- ROI head ----
+        riou = pairwise_iou(props, gt_boxes) * gt_valid[None, :]
+        r_best = jnp.max(riou, axis=1)
+        r_gt = jnp.argmax(riou, axis=1)
+        fg = (r_best > 0.5) & pvalid
+        bg = (r_best <= 0.5) & pvalid
+        cls_t = jnp.where(fg, gt_classes[r_gt], cfg.num_classes)  # bg class
+        logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+        probs = jnp.exp(logp)
+        onehot = jax.nn.one_hot(cls_t, cfg.num_classes + 1)
+        w = (fg | bg).astype(jnp.float32)
+        if head == "ce":
+            cls_loss_v = -jnp.take_along_axis(logp, cls_t[:, None],
+                                              axis=-1)[:, 0]
+        elif head == "focal":
+            cls_loss_v = 10.0 * _focal(probs, onehot)
+        elif head in ("soft", "softfocal", "msefocal"):
+            # teacher soft targets over foreground classes + bg slot
+            soft = jnp.concatenate([gt_soft[r_gt],
+                                    jnp.zeros((gt_soft.shape[0], 1))[r_gt]],
+                                   axis=-1)
+            soft = jax.nn.softmax(soft / soft_temperature, axis=-1)
+            soft = jnp.where(fg[:, None], soft, onehot)
+            if head == "soft":
+                distill = -jnp.sum(soft * logp, axis=-1)
+                hard = -jnp.take_along_axis(logp, cls_t[:, None],
+                                            axis=-1)[:, 0]
+                cls_loss_v = soft_alpha * distill + (1 - soft_alpha) * hard
+            elif head == "softfocal":
+                cls_loss_v = 10.0 * _focal(probs, soft)
+            else:  # msefocal
+                cls_loss_v = (jnp.sum(jnp.square(probs - soft), axis=-1)
+                              + 10.0 * _focal(probs, onehot))
+        else:
+            raise ValueError(f"unknown head {head!r}")
+        cls_loss = jnp.sum(cls_loss_v * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        tgt_roi_deltas = encode_boxes(props, gt_boxes[r_gt])
+        fg_w = fg.astype(jnp.float32)[:, None]
+        roi_box_loss = jnp.sum(_smooth_l1(box_deltas - tgt_roi_deltas) * fg_w
+                               ) / jnp.maximum(jnp.sum(fg_w) * 4, 1.0)
+        return obj_loss, rpn_box_loss, cls_loss, roi_box_loss
+
+    gt_soft = gt.logits if gt.logits is not None else jnp.zeros(
+        (b, gt.capacity, cfg.num_classes))
+    losses = jax.vmap(per_image)(
+        inter.rpn_obj, inter.rpn_deltas, inter.proposals,
+        inter.proposal_valid, inter.roi_features, inter.class_logits,
+        inter.box_deltas, gt.boxes, gt.classes, gt.valid, gt_soft)
+    obj_l, rpnb_l, cls_l, roib_l = [jnp.mean(l) for l in losses]
+    total = obj_l + rpnb_l + cls_l + roib_l
+    aux = {"rpn_obj": obj_l, "rpn_box": rpnb_l, "roi_cls": cls_l,
+           "roi_box": roib_l}
+    return total, aux

@@ -1,0 +1,83 @@
+"""Vision Transformer encoder with CoCa-style attentional pooler.
+
+From-scratch JAX ViT (the reference vendors open_clip's torch CoCa ViT-L/14,
+ref: captioner/models/coca/coca_model.py + model_configs/coca_ViT-L-14.json;
+dims preserved in config.VitConfig presets). The patch embedding consumes
+pre-patchified tokens (ops/image.patchify) so preprocessing fuses into the
+first MXU matmul; all blocks run in bfloat16 with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VitConfig
+from ..ops.image import preprocess_for_vit
+from .common import (
+    Params, block, block_init, dense, dense_init, layernorm, layernorm_init,
+    mha, mha_init,
+)
+
+
+def init_vit(key, cfg: VitConfig) -> Params:
+    grid = cfg.image_size // cfg.patch_size
+    tokens = grid * grid
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    ks = jax.random.split(key, cfg.layers + 5)
+    params: Params = {
+        "patch": dense_init(ks[0], patch_dim, cfg.width),
+        "pos": jax.random.normal(ks[1], (tokens + 1, cfg.width)) * 0.02,
+        "cls": jax.random.normal(ks[2], (cfg.width,)) * 0.02,
+        "ln_pre": layernorm_init(cfg.width),
+        "ln_post": layernorm_init(cfg.width),
+        "blocks": [block_init(ks[3 + i], cfg.width, cfg.heads, cfg.mlp_ratio)
+                   for i in range(cfg.layers)],
+        # attentional pooler: learned queries cross-attend to ViT tokens
+        # (CoCa attentional_pool, ref: coca_model.py vision tower)
+        "pool_q": jax.random.normal(ks[-2], (cfg.pool_queries, cfg.width))
+        * 0.02,
+        "pool_attn": mha_init(ks[-1], cfg.width, cfg.pool_heads),
+        "pool_ln": layernorm_init(cfg.width),
+        "proj": dense_init(jax.random.fold_in(key, 999), cfg.width,
+                           cfg.embed_dim),
+    }
+    return params
+
+
+def vit_features(params: Params, patch_tokens: jnp.ndarray,
+                 cfg: VitConfig) -> jnp.ndarray:
+    """Patch tokens [B, T, p*p*3] -> contextual features [B, T+1, width]."""
+    x = dense(params["patch"], patch_tokens)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos"][None]
+    x = layernorm(params["ln_pre"], x)
+    for blk in params["blocks"]:
+        x, _ = block(blk, x, cfg.heads)
+    return layernorm(params["ln_post"], x)
+
+
+def attentional_pool(params: Params, feats: jnp.ndarray,
+                     pool_heads: int) -> jnp.ndarray:
+    """Learned-query cross-attention pooling -> [B, pool_queries, width].
+    Query 0 doubles as the global embedding (CoCa uses the first pooled token
+    for the contrastive head and the rest for captioning)."""
+    b = feats.shape[0]
+    q = jnp.broadcast_to(params["pool_q"][None], (b,) + params["pool_q"].shape)
+    out, _ = mha(params["pool_attn"], q, pool_heads, kv=feats)
+    return layernorm(params["pool_ln"], out)
+
+
+def encode_image(params: Params, images_u8: jnp.ndarray, cfg: VitConfig,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 [B, H, W, 3] -> (pooled tokens [B, Q, width],
+    global embedding [B, embed_dim] L2-normalized)."""
+    tokens = preprocess_for_vit(images_u8, cfg.image_size, cfg.patch_size)
+    feats = vit_features(params, tokens, cfg)
+    pooled = attentional_pool(params, feats, cfg.pool_heads)
+    g = dense(params["proj"], pooled[:, 0])
+    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    return pooled, g

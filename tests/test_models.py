@@ -1,0 +1,101 @@
+"""Model-level tests: tokenizer, captioner (KV-cache consistency, generate,
+perplexity), sentence encoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embodied_captioning_tpu.config import (
+    CaptionerConfig, SentenceEncoderConfig,
+)
+from embodied_captioning_tpu.models import tokenizer as T
+from embodied_captioning_tpu.models.captioner import (
+    caption_loss, forward, generate, init_captioner, perplexity,
+)
+from embodied_captioning_tpu.models.sbert import SentenceEncoder
+
+CFG = CaptionerConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def cap_params():
+    return init_captioner(jax.random.PRNGKey(0), CFG)
+
+
+def _images(rng, n=2, size=64):
+    return jnp.asarray((rng.random((n, size, size, 3)) * 255).astype(np.uint8))
+
+
+def test_tokenizer_roundtrip():
+    tok = T.default_tokenizer(1024)
+    for s in ["a red couch in the living room", "tv on the wall!",
+              "Ünïcode caption 123"]:
+        assert tok.decode(tok.encode(s)) == s.strip()
+    batch = tok.encode_batch(["a bed", "a very long caption " * 10], 16)
+    assert batch.shape == (2, 16)
+    assert batch[0, 0] == T.BOS_ID
+    # deterministic retraining
+    m1 = T.train_bpe(T.builtin_corpus(), 512)
+    m2 = T.train_bpe(T.builtin_corpus(), 512)
+    assert m1 == m2
+
+
+def test_generate_shapes_and_determinism(cap_params, rng):
+    imgs = _images(rng)
+    t1, l1, n1 = generate(cap_params, imgs, jax.random.PRNGKey(1), CFG)
+    t2, l2, n2 = generate(cap_params, imgs, jax.random.PRNGKey(2), CFG)
+    # greedy decoding: key must not matter
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert t1.shape == (2, CFG.max_caption_len)
+    assert l1.shape == (2, CFG.max_caption_len - 1, CFG.text.vocab_size)
+    ppl = np.asarray(perplexity(l1, t1))
+    assert (ppl > 0).all() and np.isfinite(ppl).all()
+
+
+def test_generate_matches_uncached_forward(cap_params, rng):
+    """KV-cached decode must agree with the full (uncached) forward pass:
+    teacher-forcing the generated tokens reproduces the same step logits."""
+    imgs = _images(rng)
+    toks, step_logits, _ = generate(cap_params, imgs, jax.random.PRNGKey(0),
+                                    CFG)
+    full_logits, _, _ = forward(cap_params, imgs, toks, CFG)
+    # step_logits[:, i] predicts token i+1 given prefix -> compare to
+    # full_logits[:, i] (same position, causal)
+    a = np.asarray(step_logits)
+    b = np.asarray(full_logits[:, :-1])
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    # argmax agreement everywhere (the actual decode contract)
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+
+def test_sampling_modes(cap_params, rng):
+    imgs = _images(rng, n=1)
+    t_greedy, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG)
+    t_topk, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG,
+                            top_k=5, temperature=1.0)
+    t_topp, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG,
+                            top_p=0.9, temperature=0.8)
+    assert t_topk.shape == t_greedy.shape == t_topp.shape
+
+
+def test_caption_loss_grads(cap_params, rng):
+    imgs = _images(rng)
+    toks = jnp.asarray(np.random.default_rng(0).integers(4, 200, (2, 12)),
+                       jnp.int32)
+    (loss, aux), grads = jax.value_and_grad(
+        lambda p: caption_loss(p, imgs, toks, CFG), has_aux=True)(cap_params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.square(x)), grads, 0.0)
+    assert float(gnorm) > 0.0
+
+
+def test_sentence_encoder_semantics():
+    se = SentenceEncoder.create(0, SentenceEncoderConfig.tiny())
+    e = se.encode(["a red couch", "a red couch", "a potted plant"])
+    assert e.shape == (3, 384)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-4)
+    # identical strings -> identical embeddings
+    np.testing.assert_allclose(e[0], e[1], atol=1e-6)
+    assert float(e[0] @ e[2]) < 0.9999
