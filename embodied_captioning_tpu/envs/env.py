@@ -39,7 +39,11 @@ class EmbodiedEnv:
                       else cfg.sim.scene_seed + 1000 * env_id)
         self.sim: RaycastSim = None  # type: ignore
         self.map_state: V.VoxelMapState = None  # type: ignore
-        self.episode_id = -1
+        # episode ids are globally unique across envs (habitat's episode
+        # iterator hands each worker distinct episodes; the npz store keys
+        # on episode id, so collisions would shadow files)
+        self._episode_base = env_id * 100000
+        self.episode_id = self._episode_base - 1
         self.step_count = 0
         self._collision = False
         self._trav = None

@@ -322,6 +322,11 @@ def _intermediates(params: Params, images: jnp.ndarray, cfg: DetectorConfig,
     anchors = all_anchors(cfg.image_size)
     props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
         obj, deltas)
+    # proposals are training constants for the ROI head (detectron2 detaches
+    # them as well); also keeps grads from flowing through the NMS scan,
+    # which would blow up the backward graph
+    props = jax.lax.stop_gradient(props)
+    pvalid = jax.lax.stop_gradient(pvalid)
     if dropout_rng is not None:
         rngs = jax.random.split(dropout_rng, images.shape[0])
     else:

@@ -1,0 +1,141 @@
+"""The fused per-frame perception program: detect → crop → caption → embed.
+
+This is the hot path of the whole system. The reference runs it as four
+separate host-orchestrated stages — Mask2Former batch forward, a python loop
+of PIL crops, a per-crop uncached CoCa decode, then SBERT on CPU
+(ref: experimenting_env/agents/goal_exploration/goal_exploration.py:77-144
+predict_current_bbs_and_update_pcd). Here the entire chain is ONE jit'd XLA
+program over the env batch:
+
+  images [E, S, S, 3] u8
+    -> detector forward (FPN/RPN/ROI, bf16)             models/detector.py
+    -> full-frame masks (paste)                          ops/image.py
+    -> box expand 0.2 + crop-resize all E*N crops        ops/detections.py
+    -> KV-cached batched caption decode                  models/captioner.py
+    -> sentence embedding of the generated token ids     models/sbert.py
+       (captioner and sentence encoder share the framework tokenizer, so
+        embeddings never require a host text round-trip)
+
+Captions only surface to the host as token ids when the caller wants strings
+(observation store / logging).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig
+from .models import captioner as CAP
+from .models import detector as DET
+from .models import sbert as SB
+from .models.tokenizer import Tokenizer, default_tokenizer
+from .ops.detections import Detections, expand_boxes
+from .ops.image import crop_and_resize
+
+CROP_EXPAND = 0.2  # ref: detector/pseudolabeler.py:653-672
+
+
+class PerceptionParams(NamedTuple):
+    detector: dict
+    captioner: dict
+    sbert: dict
+
+
+class FrameResult(NamedTuple):
+    detections: Detections      # [E, N, ...] with full-frame masks+embeddings
+    caption_tokens: jnp.ndarray  # [E, N, L]
+    caption_logits: jnp.ndarray  # [E, N, L-1, V] per-step logits
+    caption_lengths: jnp.ndarray  # [E, N]
+
+
+def init_perception(key, cfg: ExperimentConfig) -> PerceptionParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return PerceptionParams(
+        detector=DET.init_detector(k1, cfg.detector),
+        captioner=CAP.init_captioner(k2, cfg.captioner),
+        sbert=SB.init_sentence_encoder(k3, cfg.sentence_encoder),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
+             cfg: ExperimentConfig) -> FrameResult:
+    """images [E, S, S, 3] uint8 -> FrameResult. One XLA program."""
+    e = images_u8.shape[0]
+    det = DET.forward(params.detector, images_u8, cfg.detector)
+    size = cfg.detector.image_size
+    fmasks = DET.full_masks(det, size)  # [E, N, S, S]
+    det = det.replace(masks=fmasks)
+
+    # crops for the captioner
+    boxes = expand_boxes(det.boxes, CROP_EXPAND, size, size)
+    crop_size = cfg.captioner.vision.image_size
+
+    def crops_one(img, bxs):
+        return crop_and_resize(img.astype(jnp.float32), bxs, crop_size)
+
+    crops = jax.vmap(crops_one)(images_u8, boxes)  # [E, N, s, s, 3] float
+    n = det.capacity
+    flat = crops.reshape(e * n, crop_size, crop_size, 3).astype(jnp.uint8)
+
+    tokens, logits, lengths = CAP.generate(
+        params.captioner, flat, rng, cfg.captioner,
+        max_len=cfg.captioner.max_caption_len)
+
+    # sentence-embed the generated ids directly (shared vocab)
+    se_len = cfg.sentence_encoder.max_len
+    l = tokens.shape[1]
+    if l >= se_len:
+        se_tokens = tokens[:, :se_len]
+    else:
+        se_tokens = jnp.pad(tokens, ((0, 0), (0, se_len - l)))
+    emb = SB.encode_tokens(params.sbert, se_tokens, cfg.sentence_encoder)
+
+    emb = emb.reshape(e, n, -1) * det.valid[..., None]
+    det = det.replace(embeddings=emb)
+    return FrameResult(
+        detections=det,
+        caption_tokens=tokens.reshape(e, n, -1),
+        caption_logits=logits.reshape(e, n, logits.shape[1], -1),
+        caption_lengths=lengths.reshape(e, n),
+    )
+
+
+class Perceiver:
+    """Host-facing wrapper: owns params, tokenizer, and rng; decodes caption
+    strings on demand."""
+
+    def __init__(self, cfg: ExperimentConfig, seed: int = 0,
+                 params: Optional[PerceptionParams] = None):
+        self.cfg = cfg
+        self.params = params or init_perception(jax.random.PRNGKey(seed), cfg)
+        self.tokenizer: Tokenizer = default_tokenizer(
+            cfg.captioner.text.vocab_size)
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    def process(self, images_u8: np.ndarray) -> FrameResult:
+        self._rng, sub = jax.random.split(self._rng)
+        images = jnp.asarray(images_u8)
+        if images.ndim == 3:
+            images = images[None]
+        size = self.cfg.detector.image_size
+        if images.shape[1] != size or images.shape[2] != size:
+            from .ops.image import resize_bilinear
+
+            images = jnp.clip(resize_bilinear(
+                images.astype(jnp.float32), size, size), 0, 255
+            ).astype(jnp.uint8)
+        return perceive(self.params, images, sub, self.cfg)
+
+    def captions(self, result: FrameResult) -> list:
+        """[[str per detection] per env] (only valid slots meaningful)."""
+        toks = np.asarray(result.caption_tokens)
+        out = []
+        for erow in toks:
+            out.append([self.tokenizer.decode(t) for t in erow])
+        return out

@@ -14,6 +14,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding the env var — force CPU back
+# explicitly so tests run on the 8-device virtual host mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: compile-bound suite on a 1-core host
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
