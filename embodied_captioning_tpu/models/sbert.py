@@ -73,7 +73,18 @@ class SentenceEncoder:
         return SentenceEncoder(params, cfg)
 
     def encode(self, sentences: Sequence[str]) -> np.ndarray:
+        n = len(sentences)
+        if n == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         tokens = self.tokenizer.encode_batch(list(sentences),
                                              self.cfg.max_len)
-        return np.asarray(encode_tokens(self.params, jnp.asarray(tokens),
-                                        self.cfg))
+        # bucket the batch dim to powers of two so varying group sizes hit
+        # one compiled program instead of recompiling per shape
+        bucket = 1 << (n - 1).bit_length()
+        if bucket > n:
+            tokens = np.concatenate(
+                [tokens, np.zeros((bucket - n, tokens.shape[1]),
+                                  tokens.dtype)])
+        out = np.asarray(encode_tokens(self.params, jnp.asarray(tokens),
+                                       self.cfg))
+        return out[:n]

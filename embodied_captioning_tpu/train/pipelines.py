@@ -1,0 +1,268 @@
+"""Teacher-student detector distillation pipelines.
+
+Parity with the reference's orchestration layer (ref: experimenting_env/
+pipelines.py): `HabitatDataModule` (:79-256 — runs policy.generate() when the
+dataset is missing, pseudo-labels it once), `TeacherStudent` (:322-581 —
+frozen teacher = consensus labeler over a pretrained detector, trainable
+student with a selectable head loss, torchmetrics-MAP validation),
+`OnlineTeacherStudent` (:625-661 — per-batch online distillation),
+`Pipeline.collect_pseudolabeled_dataset` / `fit_student_and_update_teacher` /
+`save_teacher_and_update_configs` (:664-877), `OnlinePipeline` /
+`GTPipeline` / `SWAPipeline` (:879-985), and the BYOL-EMA teacher update
+(:703-708 ema callback).
+
+The lightning machinery is replaced by plain optax loops whose train step is
+one jit; EMA and SWA are pure pytree maps.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ExperimentConfig
+from ..labeling.datasets import EpisodeDetectionDataset, Sample, collate
+from ..labeling.pseudolabeler import CONSENSUS_REGISTRY, ConsensusLabeler
+from ..models import detector as DET
+from ..ops.detections import Detections
+from ..utils.metrics import evaluate_detections
+
+
+def ema_update(teacher: dict, student: dict, decay: float = 0.996) -> dict:
+    """BYOL-style EMA teacher <- student (ref: pipelines.py:703-708)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: decay * t + (1.0 - decay) * s, teacher, student)
+
+
+def swa_average(snapshots: List[dict]) -> dict:
+    """Stochastic weight averaging (ref: SWAPipeline :974-985)."""
+    n = len(snapshots)
+    return jax.tree_util.tree_map(lambda *xs: sum(xs) / n, *snapshots)
+
+
+class TeacherStudent:
+    """Frozen teacher (via a consensus labeler) distills into a trainable
+    student detector (ref: pipelines.py:322-581)."""
+
+    def __init__(self, cfg: ExperimentConfig, consensus: str = "soft",
+                 head: str = "focal", lr: float = 1e-4,
+                 student_params: Optional[dict] = None,
+                 teacher_params: Optional[dict] = None, seed: int = 0):
+        self.cfg = cfg
+        self.head = head
+        self.lr = lr
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.student = student_params or DET.init_detector(k1, cfg.detector)
+        self.teacher = teacher_params or jax.tree_util.tree_map(
+            jnp.copy, self.student)
+        labeler_cls = CONSENSUS_REGISTRY[consensus]
+        self.labeler: ConsensusLabeler = labeler_cls(cfg)
+        # the labeler's perceiver should detect with the TEACHER weights
+        self.labeler.perceiver.params = self.labeler.perceiver.params._replace(
+            detector=self.teacher)
+        self.optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                                     optax.adamw(lr))
+        self.opt_state = self.optimizer.init(self.student)
+        self._step = jnp.zeros((), jnp.int32)
+
+    # -- steps -------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "head"))
+    def _train_step(self, student, opt_state, images, gt: Detections,
+                    head: str):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: DET.detector_loss(p, images, gt, self.cfg.detector,
+                                        head=head), has_aux=True)(student)
+        updates, opt_state = self.optimizer.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        return student, opt_state, loss, aux
+
+    def training_step(self, batch: Dict[str, np.ndarray]
+                      ) -> Dict[str, float]:
+        gt = Detections(
+            boxes=jnp.asarray(batch["boxes"]),
+            classes=jnp.asarray(batch["classes"]),
+            scores=jnp.asarray(batch["valid"], jnp.float32),
+            logits=jnp.asarray(batch["logits"]),
+            valid=jnp.asarray(batch["valid"]))
+        self.student, self.opt_state, loss, aux = self._train_step(
+            self.student, self.opt_state, jnp.asarray(batch["image"]), gt,
+            self.head)
+        return {"loss": float(loss),
+                **{k: float(v) for k, v in aux.items()}}
+
+    def validate(self, dataset: EpisodeDetectionDataset,
+                 batch_size: int = 4, max_batches: int = 16
+                 ) -> Dict[str, float]:
+        """mAP of the student vs dataset labels (ref: validation MAP,
+        pipelines.py:519-545)."""
+        preds, gts = [], []
+        for bi, batch in enumerate(dataset.batches(batch_size)):
+            if bi >= max_batches:
+                break
+            det = DET.forward(self.student, jnp.asarray(batch["image"]),
+                              self.cfg.detector, with_masks=False)
+            for b in range(batch["image"].shape[0]):
+                preds.append(Detections(
+                    boxes=det.boxes[b], classes=det.classes[b],
+                    scores=det.scores[b], logits=det.logits[b],
+                    valid=det.valid[b]))
+                gts.append(Detections(
+                    boxes=jnp.asarray(batch["boxes"][b]),
+                    classes=jnp.asarray(batch["classes"][b]),
+                    scores=jnp.asarray(batch["valid"][b], jnp.float32),
+                    logits=jnp.asarray(batch["logits"][b]),
+                    valid=jnp.asarray(batch["valid"][b])))
+        m = evaluate_detections(preds, gts, self.cfg.detector.num_classes)
+        return {"val_map_50": m["map"]}
+
+    def update_teacher_ema(self, decay: float = 0.996) -> None:
+        self.teacher = ema_update(self.teacher, self.student, decay)
+        self.labeler.perceiver.params = self.labeler.perceiver.params._replace(
+            detector=self.teacher)
+
+    def replace_teacher(self) -> None:
+        """teacher <- student (ref: save_teacher_and_update_configs
+        :861-877)."""
+        self.teacher = jax.tree_util.tree_map(jnp.copy, self.student)
+        self.labeler.perceiver.params = self.labeler.perceiver.params._replace(
+            detector=self.teacher)
+
+
+class OnlineTeacherStudent(TeacherStudent):
+    """Teacher pseudo-labels each batch on the fly
+    (ref: pipelines.py:625-661)."""
+
+    def training_step(self, batch: Dict[str, np.ndarray]
+                      ) -> Dict[str, float]:
+        det = DET.forward(self.teacher, jnp.asarray(batch["image"]),
+                          self.cfg.detector, with_masks=False)
+        gt = Detections(
+            boxes=det.boxes, classes=det.classes, scores=det.scores,
+            logits=det.logits, valid=det.valid)
+        self.student, self.opt_state, loss, aux = self._train_step(
+            self.student, self.opt_state, jnp.asarray(batch["image"]), gt,
+            self.head)
+        return {"loss": float(loss),
+                **{k: float(v) for k, v in aux.items()}}
+
+
+class Pipeline:
+    """End-to-end: explore -> pseudo-label -> fit student -> refresh teacher
+    (ref: pipelines.py:664-877)."""
+
+    def __init__(self, cfg: ExperimentConfig, trainer_name: str =
+                 "randombaseline", consensus: str = "soft",
+                 head: str = "focal", use_ema: bool = False):
+        self.cfg = cfg
+        self.trainer_name = trainer_name
+        self.ts = TeacherStudent(cfg, consensus=consensus, head=head)
+        self.use_ema = use_ema
+
+    def collect_pseudolabeled_dataset(self, obs_dir: str,
+                                      num_steps: Optional[int] = None,
+                                      ) -> List[Sample]:
+        """policy.generate() if the dataset is missing, then pseudo-label it
+        (ref: :713-798 + HabitatDataModule.prepare_data)."""
+        from ..agents.registry import get_trainer
+        import embodied_captioning_tpu.agents.baselines  # noqa: F401
+        import embodied_captioning_tpu.agents.goal_exploration  # noqa: F401
+
+        if not os.path.exists(obs_dir) or not os.listdir(obs_dir):
+            import dataclasses as dc
+
+            gen_cfg = dc.replace(self.cfg, runtime=dc.replace(
+                self.cfg.runtime, obs_dir=obs_dir))
+            trainer = get_trainer(self.trainer_name)(
+                gen_cfg, perceiver=self.ts.labeler.perceiver)
+            trainer.generate(num_steps)
+        dataset = EpisodeDetectionDataset(obs_dir, label_modality="bbs",
+                                          with_depth_pose=True)
+        preds = self.ts.labeler.predict(dataset)
+        return self.ts.labeler.get_pseudo_labels(preds)
+
+    def fit_student(self, labeled: List[Sample], epochs: int = 1,
+                    batch_size: int = 4) -> List[Dict[str, float]]:
+        logs = []
+        for _ in range(epochs):
+            for i in range(0, len(labeled) - batch_size + 1, batch_size):
+                batch = collate(labeled[i:i + batch_size])
+                logs.append(self.ts.training_step(batch))
+                if self.use_ema:
+                    self.ts.update_teacher_ema()
+        return logs
+
+    def run_round(self, obs_dir: str, num_steps: Optional[int] = None,
+                  epochs: int = 1) -> List[Dict[str, float]]:
+        labeled = self.collect_pseudolabeled_dataset(obs_dir, num_steps)
+        logs = self.fit_student(labeled, epochs)
+        if not self.use_ema:
+            self.ts.replace_teacher()
+        return logs
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as fh:
+            pickle.dump({
+                "teacher": jax.tree_util.tree_map(np.asarray,
+                                                  self.ts.teacher),
+                "student": jax.tree_util.tree_map(np.asarray,
+                                                  self.ts.student),
+            }, fh)
+
+    def load(self, path: str) -> None:
+        with open(path, "rb") as fh:
+            d = pickle.load(fh)
+        self.ts.teacher = jax.tree_util.tree_map(jnp.asarray, d["teacher"])
+        self.ts.student = jax.tree_util.tree_map(jnp.asarray, d["student"])
+
+
+class GTPipeline(Pipeline):
+    """Train on ground-truth labels (ref: :927-971): the dataset's bbsgt
+    modality is used directly, no consensus."""
+
+    def collect_pseudolabeled_dataset(self, obs_dir, num_steps=None):
+        dataset = EpisodeDetectionDataset(obs_dir, label_modality="bbsgt",
+                                          with_depth_pose=False)
+        return [dataset[i] for i in range(len(dataset))]
+
+
+class OnlinePipeline(Pipeline):
+    """Online distillation variant (ref: :879-924)."""
+
+    def __init__(self, cfg, **kw):
+        super().__init__(cfg, **kw)
+        self.ts = OnlineTeacherStudent(cfg, head=self.ts.head)
+
+
+class SWAPipeline(Pipeline):
+    """Keeps student snapshots and averages them at the end
+    (ref: :974-985)."""
+
+    def __init__(self, cfg, snapshot_every: int = 50, **kw):
+        super().__init__(cfg, **kw)
+        self.snapshot_every = snapshot_every
+        self._snapshots: List[dict] = []
+        self._count = 0
+
+    def fit_student(self, labeled, epochs: int = 1, batch_size: int = 4):
+        logs = []
+        for _ in range(epochs):
+            for i in range(0, len(labeled) - batch_size + 1, batch_size):
+                batch = collate(labeled[i:i + batch_size])
+                logs.append(self.ts.training_step(batch))
+                self._count += 1
+                if self._count % self.snapshot_every == 0:
+                    self._snapshots.append(jax.tree_util.tree_map(
+                        jnp.copy, self.ts.student))
+        if self._snapshots:
+            self.ts.student = swa_average(
+                self._snapshots + [self.ts.student])
+        return logs

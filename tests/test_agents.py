@@ -1,0 +1,166 @@
+"""Agents: planner, policy distributions, GAE/PPO update, sim + env basics,
+and a micro end-to-end exploration loop on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embodied_captioning_tpu.agents.planner import astar, skeleton_waypoints
+from embodied_captioning_tpu.agents.policy import (
+    act, evaluate_actions, init_policy,
+)
+from embodied_captioning_tpu.agents.ppo import create_state, ppo_update
+from embodied_captioning_tpu.agents.storage import (
+    FIFOMemory, Rollout, RolloutStorage, compute_gae,
+)
+from embodied_captioning_tpu.config import PPOConfig, PolicyConfig, load_config
+
+
+def test_astar_simple_and_blocked():
+    grid = np.ones((16, 16), np.uint8)
+    grid[4:12, 8] = 0  # wall with a gap at the bottom
+    path = astar(grid, (8, 2), (8, 14))
+    assert path and path[0] == (8, 2) and path[-1] == (8, 14)
+    assert all(grid[r, c] for r, c in path)
+    # fully walled off
+    grid2 = np.ones((8, 8), np.uint8)
+    grid2[:, 4] = 0
+    assert astar(grid2, (2, 1), (2, 7)) == []
+    wps = skeleton_waypoints(grid, (8, 2), (8, 14), every=5)
+    assert wps[-1] == (8, 14) and len(wps) < len(path)
+
+
+def test_astar_native_matches_python():
+    from embodied_captioning_tpu.agents.planner import _astar_py
+    from embodied_captioning_tpu.mapping.components import _load_native
+
+    grid = np.ones((12, 12), np.uint8)
+    grid[3:9, 6] = 0
+    p_native = astar(grid, (5, 1), (5, 10))
+    p_py = _astar_py(grid, (5, 1), (5, 10))
+    if _load_native() is not None:
+        assert len(p_native) == len(p_py)  # equal-cost paths
+
+
+def test_policy_act_and_evaluate():
+    cfg = PolicyConfig(map_size=64)
+    params = init_policy(jax.random.PRNGKey(0), cfg)
+    maps = jnp.zeros((3, 64, 64, 2))
+    orient = jnp.asarray([0, 10, 71])
+    a, raw, lp, v = act(params, jax.random.PRNGKey(1), maps, orient)
+    assert a.shape == (3, 2)
+    assert ((np.asarray(a) >= 0) & (np.asarray(a) <= 1)).all()
+    lp2, ent, v2 = evaluate_actions(params, maps, orient, raw)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), rtol=1e-4,
+                               atol=1e-5)
+    assert float(ent) != 0.0
+
+
+def test_gae_matches_reference_formula():
+    t, e = 4, 2
+    rng = np.random.default_rng(0)
+    rewards = rng.random((t, e)).astype(np.float32)
+    values = rng.random((t + 1, e)).astype(np.float32)
+    masks = np.ones((t + 1, e), np.float32)
+    gamma, tau = 0.99, 0.95
+    ret, adv = compute_gae(jnp.asarray(rewards), jnp.asarray(values),
+                           jnp.asarray(masks), gamma, tau)
+    # manual reverse loop
+    gae = np.zeros(e)
+    expect = np.zeros((t, e))
+    for i in reversed(range(t)):
+        delta = rewards[i] + gamma * values[i + 1] - values[i]
+        gae = delta + gamma * tau * gae
+        expect[i] = gae
+    np.testing.assert_allclose(np.asarray(adv), expect, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), expect + values[:-1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ppo_update_improves_objective():
+    cfg = PolicyConfig(map_size=32)
+    ppo_cfg = PPOConfig(num_mini_batch=2, ppo_epoch=2)
+    params = init_policy(jax.random.PRNGKey(0), cfg)
+    state = create_state(params, ppo_cfg)
+    t, e = 4, 4
+    rng = np.random.default_rng(0)
+    rollout = Rollout(
+        maps=rng.random((t + 1, e, 32, 32, 2)).astype(np.float32),
+        orientation=rng.integers(0, 72, (t + 1, e)).astype(np.int32),
+        raw_actions=rng.standard_normal((t, e, 2)).astype(np.float32),
+        log_probs=rng.standard_normal((t, e)).astype(np.float32) - 2,
+        values=rng.random((t + 1, e)).astype(np.float32),
+        rewards=rng.random((t, e)).astype(np.float32),
+        masks=np.ones((t + 1, e), np.float32),
+    )
+    new_state, metrics = ppo_update(state, rollout, jax.random.PRNGKey(1),
+                                    ppo_cfg)
+    assert np.isfinite(metrics["loss"])
+    # params actually changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_fifo_memory():
+    m = FIFOMemory(3)
+    for i in range(5):
+        m.push(i)
+    assert len(m) == 3 and list(m.buffer) == [2, 3, 4]
+    got = m.sample(np.random.default_rng(0), 2)
+    assert len(got) == 2
+
+
+def test_sim_render_and_gt():
+    from embodied_captioning_tpu.config import SensorConfig, SimConfig
+    from embodied_captioning_tpu.envs.sim import RaycastSim
+
+    sim = RaycastSim(SimConfig(scene_size=8.0, num_objects=5,
+                               episode_steps=10),
+                     SensorConfig(height=48, width=48), seed=3)
+    obs = sim.observe()
+    assert obs["rgb"].shape == (48, 48, 3)
+    assert obs["depth"].shape == (48, 48)
+    d = np.asarray(obs["depth"])
+    assert (d > 0).all() and d.max() <= 15.0
+    inst = np.asarray(obs["instances"])
+    assert inst.min() >= -1
+    det = sim.gt_detections(obs, max_instances=8)
+    v = np.asarray(det.valid)
+    if v.any():
+        i = int(np.argmax(v))
+        b = np.asarray(det.boxes[i])
+        assert b[2] > b[0] and b[3] > b[1]
+    # motion + collision
+    collided = sim.step(1)
+    assert isinstance(collided, bool)
+    trav = sim.traversability(0.25)
+    assert trav.sum() > 0
+
+
+def test_env_rpc_surface():
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=1", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "sim.episode_steps=5",
+        "map.voxel_size=0.1",
+    ])
+    from embodied_captioning_tpu.envs.env import EmbodiedEnv
+
+    env = EmbodiedEnv(cfg, env_id=1)
+    assert env.get_episode_id() == 100000
+    pos = env.get_agent_position()
+    assert pos["position"].shape == (3,)
+    upper, lower = env.get_upper_and_lower_map_bounds()
+    assert (upper > lower).all()
+    assert env.get_step() == 0
+    obs, r, done, info = env.step(2)
+    assert env.get_step() == 1 and not done
+    maps = env.get_and_update_disagreement_map()
+    assert maps.shape[-1] == 4
+    assert env.get_reward() == 0.0  # nothing fused yet
+    anns = env.get_semantic_annotations()
+    assert isinstance(anns, list)
+    path = env.get_path((1.0, 1.0), (5.0, 5.0))
+    assert path.ndim == 2
