@@ -1,0 +1,166 @@
+"""Remaining trainer family: frontier v2/v3, curiosity, captioned random
+goals, informative-trajectories, observe-object-discrete.
+
+Parity targets (ref: experimenting_env/agents/):
+  frontierbaseline-v2/-v3  frontier exploration + per-step detector/captioner/
+                           SBERT embeddings; v3 re-sends the subgoal upon
+                           arrival (frontier_exploration.py:27-120,409-470)
+  curiosity-v0             semantic-curiosity discrete policy over topdown
+                           semantic maps (semantic_curiosity.py:26-60)
+  randomgoalsbaselinecaptioner  random goals + captioner with GT detector
+                           (temp_baseline.py:80)
+  informative-trajectories-v0   goal exploration with rich training logs
+                           (informative_trajectories.py:25,502-740)
+  observeobjectdiscreteactionsbaseline  scripted orbiter, discrete control
+                           (baselines.py:1202-1578)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..utils.logging import MetricsLogger
+from .baselines import (
+    BaseTrainer, ObserveObjectBaseline, RandomGoalsBaseline,
+    _GoalDirectedTrainer, FrontierBaseline,
+)
+from .goal_exploration import GoalExplorationTrainer
+from .registry import register_trainer
+
+
+@register_trainer("frontierbaseline-v2")
+class FrontierPerceptionBaseline(FrontierBaseline):
+    """Frontier exploration is already perception-in-the-loop in this
+    framework (BaseTrainer.perceive_and_fuse runs every step), which is
+    exactly what v2 adds over v1 in the reference."""
+
+
+@register_trainer("frontierbaseline-v3")
+class FrontierResendBaseline(FrontierBaseline):
+    """v3: on subgoal arrival, re-send the goal once before replanning
+    (ref: frontier_exploration.py:409-470) — keeps the agent dwelling at
+    informative frontiers for extra views."""
+
+    def __init__(self, cfg, **kw):
+        super().__init__(cfg, **kw)
+        self._resend: List[Optional[Tuple[float, float]]] = [
+            None] * self.envs.num_envs
+
+    def new_goal(self, i):
+        if self._resend[i] is not None:
+            g = self._resend[i]
+            self._resend[i] = None
+            return g
+        g = super().new_goal(i)
+        self._resend[i] = g
+        return g
+
+
+@register_trainer("curiosity-v0")
+class SemanticCuriosityBaseline(_GoalDirectedTrainer):
+    """Semantic-curiosity exploration (ref: semantic_curiosity.py:26-60):
+    goals are map cells where semantic classes were observed (the policy
+    seeks more object views), weighted by per-cell disagreement."""
+
+    def new_goal(self, i):
+        env = self.envs.envs[i]
+        maps = env.get_and_update_disagreement_map()
+        sem = maps[..., 2]
+        dis = maps[..., 3]
+        score = (sem > 0) * (0.1 + dis)
+        ys, xs = np.nonzero(score > 0.05)
+        if len(ys) == 0:
+            return RandomGoalsBaseline.new_goal(self, i)
+        j = int(np.argmax(score[ys, xs]))
+        vox = self.cfg.map.voxel_size
+        lower = np.asarray(env.map_state.lower)
+        return (float(xs[j]) * vox + lower[0], float(ys[j]) * vox + lower[2])
+
+
+@register_trainer("randomgoalsbaselinecaptioner")
+class RandomGoalsCaptionerBaseline(RandomGoalsBaseline):
+    """Random goals + captioning of GT detections instead of learned
+    detections (ref: temp_baseline.py:80): detector boxes come from the
+    simulator's GT sensor; crops still go through the captioner+SBERT."""
+
+    def perceive_and_fuse(self, obs):
+        import numpy as _np
+
+        from ..models.captioner import generate
+        from ..models.sbert import encode_tokens
+        from ..ops.detections import expand_boxes
+        from ..ops.image import crop_and_resize
+
+        if self.perceiver is None:
+            return None
+        cfg = self.cfg
+        for i, env in enumerate(self.envs.envs):
+            single = {k: v[i] for k, v in obs.items()}
+            det = env.sim.gt_detections(single,
+                                        max_instances=cfg.detector.max_detections)
+            h, w = single["rgb"].shape[:2]
+            boxes = expand_boxes(det.boxes, 0.2, h, w)
+            crops = crop_and_resize(
+                jnp.asarray(single["rgb"], jnp.float32), boxes,
+                cfg.captioner.vision.image_size).astype(jnp.uint8)
+            toks, _, _ = generate(self.perceiver.params.captioner, crops,
+                                  jax.random.PRNGKey(self._step), cfg.captioner)
+            se_len = cfg.sentence_encoder.max_len
+            pad = jnp.zeros((toks.shape[0], max(0, se_len - toks.shape[1])),
+                            toks.dtype)
+            emb = encode_tokens(self.perceiver.params.sbert,
+                                jnp.concatenate([toks, pad], 1)[:, :se_len],
+                                cfg.sentence_encoder)
+            det = det.replace(embeddings=emb * det.valid[:, None])
+            env.update_pointcloud(det, depth=jnp.asarray(single["depth"]),
+                                  pose=jnp.asarray(
+                                      env.sim.agent.camera_matrix(),
+                                      jnp.float32))
+        return None
+
+
+@register_trainer("informative-trajectories-v0")
+class InformativeTrajectoriesTrainer(GoalExplorationTrainer):
+    """Goal exploration + rich per-update training logs
+    (ref: informative_trajectories.py:502-740 _training_log writes scalars/
+    images to tensorboard; here a MetricsLogger JSONL stream)."""
+
+    def __init__(self, cfg: ExperimentConfig, **kw):
+        super().__init__(cfg, **kw)
+        out = cfg.runtime.checkpoint_dir or cfg.runtime.obs_dir
+        self.logger = MetricsLogger(out, run_name="informative_trajectories")
+
+    def train(self, num_updates: int = 4, decisions_per_update=None):
+        logs = super().train(num_updates, decisions_per_update)
+        for i, row in enumerate(logs):
+            rewards = self.rewards()
+            self.logger.log({**row, "mean_env_reward": float(rewards.mean()),
+                             "max_env_reward": float(rewards.max())}, step=i)
+        return logs
+
+
+@register_trainer("observeobjectdiscreteactionsbaseline")
+class ObserveObjectDiscrete(ObserveObjectBaseline):
+    """Discrete-action orbiter: same viewpoints, but turns toward the object
+    at each orbit stop before moving on (ref: baselines.py:1202-1578)."""
+
+    DWELL_STEPS = 3
+
+    def __init__(self, cfg, **kw):
+        super().__init__(cfg, **kw)
+        self._dwell = np.zeros(self.envs.num_envs, np.int32)
+
+    def actions(self, obs):
+        acts = super().actions(obs)
+        for i in range(self.envs.num_envs):
+            if not self._waypoints[i] and self._dwell[i] < self.DWELL_STEPS:
+                self._dwell[i] += 1
+                acts[i] = 2  # scan left at the viewpoint
+            elif self._waypoints[i]:
+                self._dwell[i] = 0
+        return acts

@@ -1,0 +1,138 @@
+"""Named environment registry + reward-variant envs.
+
+Parity with the reference's habitat-registered env names (ref:
+experimenting_env/envs/): `Habitat3Env` (env_habitat3.py:19 — the main
+config's env), `GymHabitatEnv-v2` (env_gym_habitat.py:22),
+`SemanticDisagreement-v0` (env_semanticmap_disagreement.py:24),
+`SemanticDisagreement-kl` (env_semantic_disagreement_kl.py:24), and the
+replay/visualization envs `Viz-v0/v1` (env_viz.py:20,234). All share the
+EmbodiedEnv core; variants change the reward function or the frame source.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Type
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..mapping import voxel_map as V
+from .env import EmbodiedEnv
+
+ENV_REGISTRY: Dict[str, Type] = {}
+
+
+def register_env(name: str):
+    def deco(cls):
+        ENV_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def make_env(name: str, cfg: ExperimentConfig, env_id: int = 0,
+             **kw) -> EmbodiedEnv:
+    if name not in ENV_REGISTRY:
+        raise KeyError(f"unknown env {name!r}; known: "
+                       f"{sorted(ENV_REGISTRY)}")
+    return ENV_REGISTRY[name](cfg, env_id=env_id, **kw)
+
+
+# main env (disagreement-sum reward) under both its reference names
+register_env("Habitat3Env")(EmbodiedEnv)
+register_env("GymHabitatEnv-v2")(EmbodiedEnv)
+
+
+@register_env("SemanticDisagreement-v0")
+class SemanticDisagreementEnv(EmbodiedEnv):
+    """Adds exploration metrics: `area_ratio` of explored map cells
+    (fog-of-war coverage, ref: env_semanticmap_disagreement.py:68-99)."""
+
+    def area_ratio(self) -> float:
+        maps = self.get_and_update_disagreement_map()
+        explored = float((maps[..., 1] > 0.5).sum())
+        # free-space denominator from the traversability grid
+        if self._trav is None:
+            self._trav = self.sim.traversability(0.1)
+        vox = self.cfg.map.voxel_size
+        total_free = float(self._trav.sum()) * (0.1 / vox) ** 2
+        return explored / max(total_free, 1.0)
+
+    def step(self, action):
+        obs, r, done, info = super().step(action)
+        info["area_ratio"] = self.area_ratio()
+        return obs, r, done, info
+
+
+@register_env("SemanticDisagreement-kl")
+class SemanticDisagreementKLEnv(SemanticDisagreementEnv):
+    """Reward = summed KL between current detections and the map's
+    consensus (ref: env_semantic_disagreement_kl.py:24-158 plugs a KL
+    distance into the pcd). Call `set_last_frame` with each step's
+    detections before `get_reward`."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._last = None
+
+    def set_last_frame(self, detections, depth, pose) -> None:
+        self._last = (detections, depth, pose)
+
+    def get_reward(self) -> float:
+        if self._last is None:
+            return 0.0
+        det, depth, pose = self._last
+        return self.get_kl_reward(det, jnp.asarray(depth),
+                                  jnp.asarray(pose))
+
+
+@register_env("Viz-v0")
+class VizEnv(EmbodiedEnv):
+    """Replay env: frames come from a recorded npz experiment instead of the
+    simulator (ref: env_viz.py:20; the reference's replay/visualization
+    path). Uses cfg.sim.replay_dir."""
+
+    def __init__(self, cfg: ExperimentConfig, env_id: int = 0, **kw):
+        from ..utils.obs_store import SampleLoader
+
+        assert cfg.sim.replay_dir, "Viz-v0 needs sim.replay_dir"
+        self.loader = SampleLoader(cfg.sim.replay_dir)
+        eps = self.loader.episodes
+        self._replay_episode = eps[env_id % len(eps)]
+        self._steps = self.loader.steps(self._replay_episode, 0, "rgb")
+        self._cursor = 0
+        super().__init__(cfg, env_id=env_id, **kw)
+
+    def reset(self):
+        # build the map fresh; the sim exists only for bounds/motion stubs
+        out = super().reset()
+        self._cursor = 0
+        return self.observe()
+
+    def observe(self):
+        if not hasattr(self, "loader"):
+            return super().observe()
+        step = self._steps[min(self._cursor, len(self._steps) - 1)]
+        ep = self._replay_episode
+        rgb = self.loader.get_sample(ep, 0, "rgb", step).data
+        out = {"rgb": jnp.asarray(rgb)}
+        for cam in self.loader.cameras(ep):
+            mods = self.loader.modalities(ep, cam)
+            if "depth" in mods and step in self.loader.paths[ep][cam]["depth"]:
+                out["depth"] = jnp.asarray(
+                    self.loader.get_sample(ep, cam, "depth", step).data)
+        if "depth" not in out:
+            out["depth"] = jnp.zeros(rgb.shape[:2], jnp.float32)
+        out["instances"] = jnp.full(rgb.shape[:2], -1, jnp.int32)
+        out["classes"] = jnp.full(rgb.shape[:2], -1, jnp.int32)
+        return out
+
+    def step(self, action):
+        self._cursor += 1
+        self.step_count += 1
+        done = self._cursor >= len(self._steps)
+        return self.observe(), 0.0, done, {"replay_step": self._cursor}
+
+
+register_env("Viz-v1")(VizEnv)

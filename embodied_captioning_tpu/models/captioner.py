@@ -134,9 +134,11 @@ class GenState(NamedTuple):
 
 
 def _decode_step(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
-                 img_tokens: jnp.ndarray,
-                 text_caches, mm_caches, cfg: CaptionerConfig):
-    """One cached decoder step: tok [B] -> logits [B, V]."""
+                 cross_kvs, text_caches, mm_caches, cfg: CaptionerConfig):
+    """One cached decoder step: tok [B] -> logits [B, V]. Cross-attention
+    K/V over the (fixed) image tokens are precomputed once per generation —
+    the reference re-runs the full decoder per token with no cache at all
+    (ref: coca_model.py:294-327)."""
     x = params["tok_emb"][tok][:, None, :] + params["pos_emb"][pos][None, None]
     new_tc = []
     for blk, c in zip(params["text_blocks"], text_caches):
@@ -144,8 +146,8 @@ def _decode_step(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
         new_tc.append(c)
     x = layernorm(params["ln_text"], x)
     new_mc = []
-    for blk, c in zip(params["mm_blocks"], mm_caches):
-        x, c = block(blk, x, cfg.text.heads, cross=img_tokens, cache=c)
+    for blk, c, ckv in zip(params["mm_blocks"], mm_caches, cross_kvs):
+        x, c = block(blk, x, cfg.text.heads, cache=c, cross_kv=ckv)
         new_mc.append(c)
     x = layernorm(params["ln_mm"], x)
     logits = dense(params["head"], x)[:, 0]
@@ -198,10 +200,16 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
                for _ in range(t.layers))
     mc = tuple(KVCache.create(b, max_len, t.heads, head_dim)
                for _ in range(t.cross_layers))
+    from .common import precompute_kv
+
+    cross_kvs = tuple(
+        precompute_kv(blk["xattn"], pooled, t.heads)
+        for blk in params["mm_blocks"])
 
     def step(carry, pos):
         tok, finished, tc, mc, key = carry
-        logits, tc, mc = _decode_step(params, tok, pos, pooled, tc, mc, cfg)
+        logits, tc, mc = _decode_step(params, tok, pos, cross_kvs, tc, mc,
+                                      cfg)
         key, sub = jax.random.split(key)
         nxt = _sample(logits, sub, top_k, top_p, temperature).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)

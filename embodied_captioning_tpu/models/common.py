@@ -93,11 +93,22 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     return x.reshape(b, t, heads, d // heads)
 
 
+def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
+                  compute_dtype=jnp.bfloat16):
+    """Project K/V once for reuse across decode steps (cross-attention KV of
+    a fixed encoder output is invariant during generation)."""
+    k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+    v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+    return k.astype(compute_dtype), v.astype(compute_dtype)
+
+
 def mha(p: Params, x: jnp.ndarray, heads: int,
         kv: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
         compute_dtype=jnp.bfloat16,
+        causal: bool = False,
+        kv_precomputed=None,
         ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Multi-head attention.
 
@@ -111,10 +122,13 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
 
     Returns (out [B, Tq, D], updated cache or None).
     """
-    kv_src = x if kv is None else kv
     q = _split_heads(dense(p["q"], x, compute_dtype), heads)
-    k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
-    v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+    if kv_precomputed is not None:
+        k, v = kv_precomputed
+    else:
+        kv_src = x if kv is None else kv
+        k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+        v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
 
     if cache is not None:
         tq = q.shape[1]
@@ -128,6 +142,21 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         pos = jnp.arange(t_max)[None, None, None, :]  # [1,1,1,Tk]
         cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
+
+    # opt-in Pallas flash path: uncached self-attention with no explicit
+    # mask (ViT) or a pure causal mask, on qualifying shapes
+    if cache is None and (mask is None or causal):
+        from ..ops.pallas.dispatch import maybe_flash_attention
+
+        flash = maybe_flash_attention(
+            jnp.moveaxis(q, 1, 2).astype(compute_dtype),
+            jnp.moveaxis(k, 1, 2).astype(compute_dtype),
+            jnp.moveaxis(v, 1, 2).astype(compute_dtype), causal=causal)
+        if flash is not None:
+            out = jnp.moveaxis(flash, 1, 2)
+            b_, tq_, h_, d_ = out.shape
+            return dense(p["o"], out.reshape(b_, tq_, h_ * d_),
+                         compute_dtype), None
 
     dh = q.shape[-1]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
@@ -174,14 +203,17 @@ def block(p: Params, x: jnp.ndarray, heads: int,
           mask: Optional[jnp.ndarray] = None,
           cross: Optional[jnp.ndarray] = None,
           cache: Optional[KVCache] = None, compute_dtype=jnp.bfloat16,
+          causal: bool = False, cross_kv=None,
           ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
-    """Pre-LN transformer block with optional cross-attention sublayer."""
+    """Pre-LN transformer block with optional cross-attention sublayer.
+    `causal=True` marks a pure causal mask, unlocking the flash kernel;
+    `cross_kv` supplies precomputed cross-attention K/V (decode loop)."""
     h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
-                   cache=cache, compute_dtype=compute_dtype)
+                   cache=cache, compute_dtype=compute_dtype, causal=causal)
     x = x + h
-    if cross is not None and "xattn" in p:
+    if (cross is not None or cross_kv is not None) and "xattn" in p:
         h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, kv_precomputed=cross_kv)
         x = x + h
     x = x + mlp(p["mlp"], layernorm(p["ln2"], x), compute_dtype)
     return x, cache

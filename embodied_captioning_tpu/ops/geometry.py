@@ -76,7 +76,9 @@ def depth_outlier_mask(depth: jnp.ndarray, mask: jnp.ndarray,
     # torch.std uses Bessel's correction (n-1)
     var = jnp.sum(jnp.square(depth - mean) * m) / jnp.maximum(n - 1.0, 1.0)
     std = jnp.sqrt(var)
-    keep = jnp.abs(depth - mean) < max_deviations * std
+    # epsilon floor: a perfectly flat region has sigma = 0 and the strict
+    # `< sigma` of the reference would reject every pixel of it
+    keep = jnp.abs(depth - mean) < max_deviations * std + 1e-3
     return mask & keep
 
 

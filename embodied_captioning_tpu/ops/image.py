@@ -3,9 +3,14 @@
 These replace the reference's host-side cv2/PIL/albumentations preprocessing
 and detectron2's ROIAlign CUDA op (ref: utils/predictor_utils.py:308-379 runs
 the HF Mask2Former processor on CPU; detector/pseudolabeler.py:653-672 crops
-boxes with PIL before captioning). Here everything is jnp with static shapes
-so XLA fuses resize+normalize+patchify into the encoder's first matmul. A
-Pallas fused variant lives in ops/pallas/preprocess.py.
+boxes with PIL before captioning).
+
+TPU-first formulation: bilinear sampling is *separable*, so every resampling
+op here is expressed as two dense interpolation-matrix products
+(out = Ry @ img @ Rx^T) instead of elementwise gathers — gathers serialize on
+TPU while these matmuls ride the MXU. The interpolation matrices are built
+with vectorized hat-weight arithmetic (no data-dependent shapes), and XLA
+fuses their construction into the surrounding program.
 """
 
 from __future__ import annotations
@@ -20,14 +25,41 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def _gather_axis(img: jnp.ndarray, idx0: jnp.ndarray, idx1: jnp.ndarray,
-                 frac: jnp.ndarray, axis: int) -> jnp.ndarray:
-    lo = jnp.take(img, idx0, axis=axis)
-    hi = jnp.take(img, idx1, axis=axis)
-    shape = [1] * img.ndim
-    shape[axis] = -1
-    f = frac.reshape(shape)
-    return lo * (1.0 - f) + hi * f
+def _interp_weights(src: jnp.ndarray, in_n: int,
+                    zero_outside: bool = False) -> jnp.ndarray:
+    """Dense bilinear weight matrix W [S, in_n] for source coords `src` [S]
+    (2-tap hat weights at floor/ceil). With `zero_outside`, coords outside
+    [-0.5, in_n - 0.5] contribute zeros instead of clamping."""
+    inside = (src > -1.0) & (src < in_n)
+    s = jnp.clip(src, 0.0, in_n - 1.0)
+    i0 = jnp.floor(s).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_n - 1)
+    f = s - i0.astype(jnp.float32)
+    ys = jnp.arange(in_n)[None, :]
+    w = (jnp.where(ys == i0[:, None], 1.0 - f[:, None], 0.0)
+         + jnp.where(ys == i1[:, None], f[:, None], 0.0))
+    if zero_outside:
+        w = w * inside[:, None]
+    return w
+
+
+def _src_coords(out_n: int, in_n: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners and out_n > 1:
+        return jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1.0) /
+                                                       (out_n - 1.0))
+    scale = in_n / out_n
+    src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
+    return jnp.clip(src, 0.0, in_n - 1.0)
+
+
+def _separable_resample(img: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """img [..., H, W, C], wy [Ho, H], wx [Wo, W] -> [..., Ho, Wo, C] via two
+    MXU matmuls."""
+    y = jnp.einsum("oh,...hwc->...owc", wy, img.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,...owc->...opc", wx, y,
+                      preferred_element_type=jnp.float32)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
@@ -39,25 +71,10 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
         img = img[..., None]
         squeeze = True
     h, w = img.shape[-3], img.shape[-2]
-    img = img.astype(jnp.float32)
-
-    def src_coords(out_n: int, in_n: int):
-        if align_corners and out_n > 1:
-            scale = (in_n - 1.0) / (out_n - 1.0)
-            src = jnp.arange(out_n, dtype=jnp.float32) * scale
-        else:
-            scale = in_n / out_n
-            src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
-        src = jnp.clip(src, 0.0, in_n - 1.0)
-        i0 = jnp.floor(src).astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, in_n - 1)
-        return i0, i1, src - i0.astype(jnp.float32)
-
-    y0, y1, fy = src_coords(out_h, h)
-    x0, x1, fx = src_coords(out_w, w)
-    img = _gather_axis(img, y0, y1, fy, axis=img.ndim - 3)
-    img = _gather_axis(img, x0, x1, fx, axis=img.ndim - 2)
-    return img[..., 0] if squeeze else img
+    wy = _interp_weights(_src_coords(out_h, h, align_corners), h)
+    wx = _interp_weights(_src_coords(out_w, w, align_corners), w)
+    out = _separable_resample(img, wy, wx)
+    return out[..., 0] if squeeze else out
 
 
 def normalize(img: jnp.ndarray, mean: Sequence[float] = CLIP_MEAN,
@@ -86,9 +103,8 @@ def patchify(img: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 def preprocess_for_vit(img_u8: jnp.ndarray, image_size: int, patch: int,
                        ) -> jnp.ndarray:
-    """uint8 [..., H, W, 3] -> patch tokens for the ViT. XLA fuses the whole
-    chain; on TPU the resize gathers and the normalize are bandwidth-bound and
-    ride the VPU."""
+    """uint8 [..., H, W, 3] -> patch tokens for the ViT (optionally via the
+    fused Pallas kernel, ops/pallas/preprocess.py)."""
     x = to_float(img_u8)
     x = resize_bilinear(x, image_size, image_size)
     x = normalize(x)
@@ -102,40 +118,27 @@ def crop_and_resize(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
 
     Args:
       img:   [H, W, C] float image.
-      boxes: [N, 4] XYXY pixel boxes (degenerate boxes produce zeros-crops).
+      boxes: [N, 4] XYXY pixel boxes (degenerate boxes produce zero crops).
       out_size: output side (square).
 
-    Returns [N, out_size, out_size, C]. Implemented as two batched gathers
-    with bilinear weights — XLA lowers these to efficient dynamic-slices;
-    the Pallas variant (ops/pallas/roi_align.py) tiles it explicitly.
-    """
+    Returns [N, out_size, out_size, C]. Per-box separable interpolation
+    matrices contracted on the MXU (no gathers)."""
     h, w, c = img.shape
-    n = boxes.shape[0]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     bw = jnp.maximum(x2 - x1, 1e-3)
     bh = jnp.maximum(y2 - y1, 1e-3)
-    # ROIAlign-style: sample at pixel centers of a regular out_size grid
     u = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
-    sx = x1[:, None] + u[None, :] * bw[:, None]  # [N, S]
-    sy = y1[:, None] + u[None, :] * bh[:, None]  # [N, S]
-    sx = jnp.clip(sx - 0.5, 0.0, w - 1.0)
-    sy = jnp.clip(sy - 0.5, 0.0, h - 1.0)
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    x1i = jnp.minimum(x0 + 1, w - 1)
-    fx = sx - x0
-    y0 = jnp.floor(sy).astype(jnp.int32)
-    y1i = jnp.minimum(y0 + 1, h - 1)
-    fy = sy - y0
-
-    rows0 = img[y0]          # [N, S, W, C] gather rows
-    rows1 = img[y1i]
-    rows = rows0 * (1.0 - fy)[..., None, None] + rows1 * fy[..., None, None]
-    # gather cols per-roi: rows is [N, S, W, C]; take along axis 2
-    idx0 = x0[:, None, :, None]
-    idx1 = x1i[:, None, :, None]
-    cols0 = jnp.take_along_axis(rows, jnp.broadcast_to(idx0, (n, out_size, out_size, c)), axis=2)
-    cols1 = jnp.take_along_axis(rows, jnp.broadcast_to(idx1, (n, out_size, out_size, c)), axis=2)
-    out = cols0 * (1.0 - fx)[:, None, :, None] + cols1 * fx[:, None, :, None]
+    sx = jnp.clip(x1[:, None] + u[None, :] * bw[:, None] - 0.5, 0.0, w - 1.0)
+    sy = jnp.clip(y1[:, None] + u[None, :] * bh[:, None] - 0.5, 0.0, h - 1.0)
+    wy = jax.vmap(lambda s: _interp_weights(s, h))(sy)  # [N, S, H]
+    wx = jax.vmap(lambda s: _interp_weights(s, w))(sx)  # [N, S, W]
+    imgf = img.astype(jnp.float32).reshape(h, w * c)
+    # rows: [N, S, H] @ [H, W*C] -> [N, S, W*C]
+    rows = jnp.einsum("nsh,hk->nsk", wy, imgf,
+                      preferred_element_type=jnp.float32)
+    rows = rows.reshape(-1, out_size, w, c)
+    out = jnp.einsum("ntw,nswc->nstc", wx, rows,
+                     preferred_element_type=jnp.float32)
     return out
 
 
@@ -156,34 +159,24 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
 def paste_masks(mask_logits: jnp.ndarray, boxes: jnp.ndarray, height: int,
                 width: int) -> jnp.ndarray:
     """Paste [N, m, m] ROI mask logits into full-frame [N, H, W] probability
-    maps (detectron2 paste_masks_in_image semantics). Vectorized: for each
-    output pixel compute its coordinate inside the box and bilinearly sample
-    the ROI mask."""
+    maps (detectron2 paste_masks_in_image semantics). Separable: per det,
+    out = Wy @ sigmoid-later(mask) @ Wx^T with weights zeroed outside the
+    box — two tiny MXU matmuls per detection instead of 4 full-frame
+    gathers."""
     n, m, _ = mask_logits.shape
-    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
-    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]   # [1, 1, W]
-    x1 = boxes[:, 0][:, None, None]
-    y1 = boxes[:, 1][:, None, None]
-    bw = jnp.maximum(boxes[:, 2][:, None, None] - x1, 1e-3)
-    bh = jnp.maximum(boxes[:, 3][:, None, None] - y1, 1e-3)
-    u = (xs - x1) / bw * m - 0.5  # ROI-mask coords
-    v = (ys - y1) / bh * m - 0.5
-    inside = (u > -0.5) & (u < m - 0.5) & (v > -0.5) & (v < m - 0.5)
-    u = jnp.clip(u, 0.0, m - 1.0)
-    v = jnp.clip(v, 0.0, m - 1.0)
-    u0 = jnp.floor(u).astype(jnp.int32)
-    v0 = jnp.floor(v).astype(jnp.int32)
-    u1 = jnp.minimum(u0 + 1, m - 1)
-    v1 = jnp.minimum(v0 + 1, m - 1)
-    fu = u - u0
-    fv = v - v0
-    flat = mask_logits.reshape(n, m * m)
-    bidx = jnp.arange(n)[:, None, None]
-
-    def g(vv, uu):
-        return flat[bidx, vv * m + uu]
-
-    val = (g(v0, u0) * (1 - fu) * (1 - fv) + g(v0, u1) * fu * (1 - fv)
-           + g(v1, u0) * (1 - fu) * fv + g(v1, u1) * fu * fv)
-    probs = jax.nn.sigmoid(val)
-    return jnp.where(inside, probs, 0.0)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    x1 = boxes[:, 0]
+    y1 = boxes[:, 1]
+    bw = jnp.maximum(boxes[:, 2] - x1, 1e-3)
+    bh = jnp.maximum(boxes[:, 3] - y1, 1e-3)
+    # ROI-mask coords of each output pixel
+    u = (xs[None, :] - x1[:, None]) / bw[:, None] * m - 0.5  # [N, W]
+    v = (ys[None, :] - y1[:, None]) / bh[:, None] * m - 0.5  # [N, H]
+    wx = jax.vmap(lambda s: _interp_weights(s, m, zero_outside=True))(u)
+    wy = jax.vmap(lambda s: _interp_weights(s, m, zero_outside=True))(v)
+    probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    tmp = jnp.einsum("nhv,nvu->nhu", wy, probs,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("nwu,nhu->nhw", wx, tmp,
+                      preferred_element_type=jnp.float32)

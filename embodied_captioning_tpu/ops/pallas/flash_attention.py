@@ -1,0 +1,110 @@
+"""Pallas flash-attention kernel (TPU).
+
+Fused QK^T -> online-softmax -> PV for the encoder hot path (ViT layers are
+where the perception program's FLOPs live). Avoids materializing the
+[B, H, T, T] score matrix in HBM: K/V stream through VMEM in blocks with the
+standard running-max/denominator recurrence, so HBM traffic is O(T*D) and the
+MXU stays busy.
+
+Used by models/common.mha when `use_flash()` is on (env ECAP_USE_PALLAS=1)
+and shapes qualify (self-attention, no KV cache, T multiple of the block).
+Parity-tested against the jnp reference in tests/test_pallas.py (interpret
+mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
+                  sm_scale: float):
+    # q_ref: [block_q, d]; k_ref/v_ref: [T, d]; o_ref: [block_q, d]
+    block_q, d = q_ref.shape
+    t = k_ref.shape[0]
+    q_idx = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+
+    def body(carry, ki):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (q_idx * block_q + rows) >= (ki * block_k + cols)
+            s = jnp.where(mask, s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+        return (acc, m_cur, l_cur), None
+
+    n_k = t // block_k
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    (acc, m, l), _ = jax.lax.scan(body, (acc0, m0, l0), jnp.arange(n_k))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                             "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    causal: bool = False, block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: [B, H, T, D] -> [B, H, T, D]. T must divide by the blocks
+    (callers pad; models/common.mha pads to the block multiple)."""
+    b, h, t, d = q.shape
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    sm_scale = 1.0 / math.sqrt(d)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, t // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d)
+
+
+def attention_reference(q, k, v, causal: bool = False) -> jnp.ndarray:
+    """jnp reference for parity tests."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / math.sqrt(d)
+    if causal:
+        t = q.shape[2]
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        s = jnp.where(mask[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)

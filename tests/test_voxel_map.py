@@ -85,7 +85,8 @@ def test_identical_embeddings_zero_disagreement(rng):
                                   hfov_deg=HFOV, max_depth=3.5)
     dis = np.asarray(V.object_disagreement(state, CFG))
     np.testing.assert_allclose(dis.max(), 0.0, atol=1e-5)
-    assert float(V.disagreement_reward(state, CFG)) == 0.0
+    np.testing.assert_allclose(float(V.disagreement_reward(state, CFG)), 0.0,
+                               atol=1e-6)
 
 
 def test_topdown_channels(rng):
