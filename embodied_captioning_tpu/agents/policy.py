@@ -35,7 +35,8 @@ def init_policy(key, cfg: PolicyConfig, num_actions: int = 2) -> Params:
              for i in range(5)]
     feat_side = cfg.map_size // 32  # 5 stride-2 convs
     flat = 32 * feat_side * feat_side
-    return {
+    extra = {"gru": init_gru(next(ks), 256)} if cfg.recurrent else {}
+    return extra | {
         "convs": convs,
         "orient_emb": jax.random.normal(next(ks),
                                         (cfg.orientation_bins, 8)) * 0.02,
@@ -47,9 +48,32 @@ def init_policy(key, cfg: PolicyConfig, num_actions: int = 2) -> Params:
     }
 
 
+def init_gru(key, dim: int) -> Params:
+    """GRU cell (the reference's recurrent NNBase,
+    ref: utils/model.py:83-135)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": dense_init(k1, dim, 3 * dim),
+        "wh": dense_init(k2, dim, 3 * dim),
+    }
+
+
+def gru_step(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    gx = dense(p["wx"], x)
+    gh = dense(p["wh"], h)
+    d = h.shape[-1]
+    r = jax.nn.sigmoid(gx[..., :d] + gh[..., :d])
+    z = jax.nn.sigmoid(gx[..., d:2 * d] + gh[..., d:2 * d])
+    n = jnp.tanh(gx[..., 2 * d:] + r * gh[..., 2 * d:])
+    return (1 - z) * n + z * h
+
+
 def policy_forward(params: Params, maps: jnp.ndarray,
-                   orientation: jnp.ndarray) -> PolicyOutput:
-    """maps [B, H, W, C] float, orientation [B] int32 bin index."""
+                   orientation: jnp.ndarray,
+                   rnn_state: Optional[jnp.ndarray] = None) -> PolicyOutput:
+    """maps [B, H, W, C] float, orientation [B] int32 bin index. If the
+    policy was initialized recurrent and `rnn_state` [B, 256] is given, a
+    GRU refines the trunk features (ref: agents/model.py + NNBase GRU)."""
     x = maps
     for cv in params["convs"]:
         x = jax.nn.relu(conv(cv, x, stride=2))
@@ -59,6 +83,8 @@ def policy_forward(params: Params, maps: jnp.ndarray,
     x = jnp.concatenate([x, o], axis=-1)
     x = jax.nn.relu(dense(params["fc1"], x))
     x = jax.nn.relu(dense(params["fc2"], x))
+    if rnn_state is not None and "gru" in params:
+        x = gru_step(params["gru"], rnn_state, x)
     value = dense(params["value"], x)[:, 0]
     mean = dense(params["act"], x)
     return PolicyOutput(value, mean, params["log_std"])

@@ -143,9 +143,10 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
 
-    # opt-in Pallas flash path: uncached self-attention with no explicit
+    # opt-in Pallas flash path: uncached SELF-attention with no explicit
     # mask (ViT) or a pure causal mask, on qualifying shapes
-    if cache is None and (mask is None or causal):
+    if cache is None and kv is None and kv_precomputed is None and (
+            mask is None or causal):
         from ..ops.pallas.dispatch import maybe_flash_attention
 
         flash = maybe_flash_attention(

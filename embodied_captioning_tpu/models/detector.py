@@ -292,6 +292,20 @@ def _box_head(params: Params, fpn_p2: jnp.ndarray, proposals: jnp.ndarray,
     return x, dense(params["cls"], x), dense(params["box"], x)
 
 
+def reinit_heads(params: Params, key, cfg: DetectorConfig) -> Params:
+    """Re-initialize classification/box/mask output heads, keeping the
+    backbone (the reference's COCO-head pruning / `reinit_head` and the
+    pipeline's `reinit_online` student reset,
+    ref: utils/predictor_utils.py:409-459, utils/roi_head_wrappers.py:29-50,
+    pipelines.py:838-858)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    out = dict(params)
+    out["cls"] = dense_init(k1, 1024, cfg.num_classes + 1, scale=0.01)
+    out["box"] = dense_init(k2, 1024, 4, scale=0.001)
+    out["mask_out"] = conv_init(k3, 1, cfg.fpn_dim, cfg.num_classes)
+    return out
+
+
 def project_features(params: Params, roi_features: jnp.ndarray) -> jnp.ndarray:
     """128-d contrastive projection of ROI features (ref:
     multi_stage_models.py:73,116-131), L2-normalized."""

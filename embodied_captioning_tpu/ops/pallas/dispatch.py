@@ -21,15 +21,23 @@ def pallas_enabled() -> bool:
 def maybe_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           causal: bool = False) -> Optional[jnp.ndarray]:
     """[B, H, T, D] attention via the flash kernel if enabled and the shape
-    qualifies; None -> caller uses the XLA einsum path."""
+    qualifies; odd sequence lengths are zero-padded to the 128 block with
+    static key masking. None -> caller uses the XLA einsum path."""
     if not pallas_enabled():
         return None
     b, h, t, d = q.shape
-    if t < 128 or t % 128 != 0 or d % 8 != 0:
+    if t < 64 or d % 8 != 0:
         return None
     from .flash_attention import flash_attention
 
-    return flash_attention(q, k, v, causal=causal)
+    block = 128
+    t_pad = ((t + block - 1) // block) * block
+    if t_pad == t:
+        return flash_attention(q, k, v, causal=causal)
+    pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+    out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                          causal=causal, valid_len=t)
+    return out[:, :, :t]
 
 
 def maybe_fused_preprocess(img_u8: jnp.ndarray, out_size: int, patch: int

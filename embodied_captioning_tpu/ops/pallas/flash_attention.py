@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
-                  sm_scale: float):
+                  sm_scale: float, valid_len: int):
     # q_ref: [block_q, d]; k_ref/v_ref: [T, d]; o_ref: [block_q, d]
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
@@ -36,14 +37,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
 
     q = q_ref[:].astype(jnp.float32) * sm_scale
 
-    def body(carry, ki):
+    def body(ki, carry):
         acc, m_prev, l_prev = carry
         k_blk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        if valid_len < t:
+            # padded keys beyond valid_len are masked out
+            s = jnp.where(ki * block_k + cols < valid_len, s, NEG_INF)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = (q_idx * block_q + rows) >= (ki * block_k + cols)
             s = jnp.where(mask, s, NEG_INF)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -52,24 +56,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
         acc = acc * alpha[:, None] + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32)
-        return (acc, m_cur, l_cur), None
+        return (acc, m_cur, l_cur)
 
     n_k = t // block_k
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
-    (acc, m, l), _ = jax.lax.scan(body, (acc0, m0, l0), jnp.arange(n_k))
+    acc, m, l = jax.lax.fori_loop(0, n_k, body, (acc0, m0, l0))
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "valid_len"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False, block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
-                    interpret: bool = False) -> jnp.ndarray:
-    """q, k, v: [B, H, T, D] -> [B, H, T, D]. T must divide by the blocks
-    (callers pad; models/common.mha pads to the block multiple)."""
+                    interpret: bool = False,
+                    valid_len: Optional[int] = None) -> jnp.ndarray:
+    """q, k, v: [B, H, T, D] -> [B, H, T, D]. T must divide by the blocks;
+    callers with odd sequence lengths zero-pad to the block multiple and
+    pass the true length as static `valid_len` (padded keys are masked;
+    padded query rows produce garbage the caller slices off)."""
     b, h, t, d = q.shape
     block_q = min(block_q, t)
     block_k = min(block_k, t)
@@ -80,7 +87,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vf = v.reshape(b * h, t, d)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale,
+                               valid_len=valid_len if valid_len else t)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, t // block_q),

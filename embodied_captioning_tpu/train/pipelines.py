@@ -47,6 +47,54 @@ def swa_average(snapshots: List[dict]) -> dict:
     return jax.tree_util.tree_map(lambda *xs: sum(xs) / n, *snapshots)
 
 
+def mixup_batch(batch: Dict[str, np.ndarray], rng: np.random.Generator,
+                alpha: float = 0.2) -> Dict[str, np.ndarray]:
+    """Image mixup within a batch; box/class targets are the union of the
+    two mixed frames (ref: pipelines.py training_step's optional
+    mixup_batch). Detections are padded, so the union concatenates valid
+    slots up to capacity."""
+    lam = float(rng.beta(alpha, alpha))
+    perm = rng.permutation(batch["image"].shape[0])
+    out = dict(batch)
+    out["image"] = (lam * batch["image"].astype(np.float32)
+                    + (1 - lam) * batch["image"][perm].astype(np.float32)
+                    ).astype(batch["image"].dtype)
+    n = batch["boxes"].shape[1]
+    boxes, classes, logits, valid = (batch["boxes"].copy(),
+                                     batch["classes"].copy(),
+                                     batch["logits"].copy(),
+                                     batch["valid"].copy())
+    for b in range(len(perm)):
+        src = perm[b]
+        free = np.nonzero(~valid[b])[0]
+        take = np.nonzero(batch["valid"][src])[0][: len(free)]
+        if len(take):
+            sel = free[: len(take)]
+            boxes[b, sel] = batch["boxes"][src, take]
+            classes[b, sel] = batch["classes"][src, take]
+            logits[b, sel] = batch["logits"][src, take]
+            valid[b, sel] = True
+    out.update(boxes=boxes, classes=classes, logits=logits, valid=valid)
+    return out
+
+
+def make_lr_schedule(kind: str = "constant", lr: float = 1e-4,
+                     warmup_steps: int = 100, total_steps: int = 10_000):
+    """LR schedules for the scheduler trainer variants
+    (ref: multi_stage_models.py:333-456 LR-scheduler subclasses)."""
+    import optax as _optax
+
+    if kind == "constant":
+        return lr
+    if kind == "cosine":
+        return _optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, total_steps)
+    if kind == "step":
+        return _optax.piecewise_constant_schedule(
+            lr, {total_steps // 2: 0.1, (3 * total_steps) // 4: 0.1})
+    raise ValueError(f"unknown schedule {kind!r}")
+
+
 class TeacherStudent:
     """Frozen teacher (via a consensus labeler) distills into a trainable
     student detector (ref: pipelines.py:322-581)."""
@@ -83,17 +131,33 @@ class TeacherStudent:
         student = optax.apply_updates(student, updates)
         return student, opt_state, loss, aux
 
+    def _to_detector_scale(self, batch: Dict[str, np.ndarray]):
+        """Resize images (and scale boxes) to the detector's square input."""
+        from ..ops.image import resize_bilinear
+
+        size = self.cfg.detector.image_size
+        images = jnp.asarray(batch["image"])
+        h, w = images.shape[1:3]
+        boxes = jnp.asarray(batch["boxes"], jnp.float32)
+        if (h, w) != (size, size):
+            images = jnp.clip(resize_bilinear(
+                images.astype(jnp.float32), size, size), 0, 255
+            ).astype(jnp.uint8)
+            boxes = boxes * jnp.asarray([size / w, size / h,
+                                         size / w, size / h])
+        return images, boxes
+
     def training_step(self, batch: Dict[str, np.ndarray]
                       ) -> Dict[str, float]:
+        images, boxes = self._to_detector_scale(batch)
         gt = Detections(
-            boxes=jnp.asarray(batch["boxes"]),
+            boxes=boxes,
             classes=jnp.asarray(batch["classes"]),
             scores=jnp.asarray(batch["valid"], jnp.float32),
             logits=jnp.asarray(batch["logits"]),
             valid=jnp.asarray(batch["valid"]))
         self.student, self.opt_state, loss, aux = self._train_step(
-            self.student, self.opt_state, jnp.asarray(batch["image"]), gt,
-            self.head)
+            self.student, self.opt_state, images, gt, self.head)
         return {"loss": float(loss),
                 **{k: float(v) for k, v in aux.items()}}
 
@@ -106,15 +170,16 @@ class TeacherStudent:
         for bi, batch in enumerate(dataset.batches(batch_size)):
             if bi >= max_batches:
                 break
-            det = DET.forward(self.student, jnp.asarray(batch["image"]),
-                              self.cfg.detector, with_masks=False)
-            for b in range(batch["image"].shape[0]):
+            images, boxes = self._to_detector_scale(batch)
+            det = DET.forward(self.student, images, self.cfg.detector,
+                              with_masks=False)
+            for b in range(images.shape[0]):
                 preds.append(Detections(
                     boxes=det.boxes[b], classes=det.classes[b],
                     scores=det.scores[b], logits=det.logits[b],
                     valid=det.valid[b]))
                 gts.append(Detections(
-                    boxes=jnp.asarray(batch["boxes"][b]),
+                    boxes=boxes[b],
                     classes=jnp.asarray(batch["classes"][b]),
                     scores=jnp.asarray(batch["valid"][b], jnp.float32),
                     logits=jnp.asarray(batch["logits"][b]),
@@ -141,14 +206,14 @@ class OnlineTeacherStudent(TeacherStudent):
 
     def training_step(self, batch: Dict[str, np.ndarray]
                       ) -> Dict[str, float]:
-        det = DET.forward(self.teacher, jnp.asarray(batch["image"]),
-                          self.cfg.detector, with_masks=False)
+        images, _ = self._to_detector_scale(batch)
+        det = DET.forward(self.teacher, images, self.cfg.detector,
+                          with_masks=False)
         gt = Detections(
             boxes=det.boxes, classes=det.classes, scores=det.scores,
             logits=det.logits, valid=det.valid)
         self.student, self.opt_state, loss, aux = self._train_step(
-            self.student, self.opt_state, jnp.asarray(batch["image"]), gt,
-            self.head)
+            self.student, self.opt_state, images, gt, self.head)
         return {"loss": float(loss),
                 **{k: float(v) for k, v in aux.items()}}
 

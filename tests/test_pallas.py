@@ -42,6 +42,20 @@ def test_fused_preprocess_parity(rng):
                                atol=1e-4)
 
 
+def test_flash_attention_padded_masked(rng):
+    """Odd sequence length via zero-pad + static valid_len masking."""
+    b, h, t, d = 1, 2, 197, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pad = ((0, 0), (0, 0), (0, 256 - t), (0, 0))
+    out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                          valid_len=t, interpret=True)[:, :, :t]
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
 def test_dispatch_gating(monkeypatch, rng):
     from embodied_captioning_tpu.ops.pallas import dispatch
 
