@@ -76,6 +76,14 @@ class EmbodiedEnv:
         return obs, 0.0, done, info
 
     # -- RPC surface (parity with Habitat3Env) ----------------------------
+    def set_goals(self, goals) -> None:
+        """Store navigation goals [(x, z), ...] (ref: env_base.py:13-72
+        BaseEnv.set_goals)."""
+        self.goals = [tuple(g) for g in goals]
+
+    def get_goals(self):
+        return getattr(self, "goals", [])
+
     def get_agent_position(self) -> Dict[str, np.ndarray]:
         pose = self.sim.agent.pose()
         return {"position": pose.position, "orientation": pose.orientation}

@@ -160,10 +160,12 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
                          compute_dtype), None
 
     dh = q.shape[-1]
+    # scores stay in compute dtype (bf16): halves the HBM traffic of the
+    # [B, H, T, T] tensor, which dominates encoder time; the softmax itself
+    # runs in f32 for stability
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
-                        k.astype(compute_dtype),
-                        preferred_element_type=jnp.float32)
-    logits = logits / math.sqrt(dh)
+                        k.astype(compute_dtype))
+    logits = logits.astype(jnp.float32) / math.sqrt(dh)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     weights = jax.nn.softmax(logits, axis=-1)
