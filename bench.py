@@ -34,6 +34,10 @@ def main() -> None:
 
     cfg = load_config(preset)
     params = init_perception(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("BENCH_INT8") == "1":
+        from embodied_captioning_tpu.models.quantize import quantize_params
+
+        params = quantize_params(params)
     size = cfg.detector.image_size
     rng_np = np.random.default_rng(0)
     images = jax.numpy.asarray(

@@ -30,7 +30,9 @@ def dense_init(key, d_in: int, d_out: int, scale: Optional[float] = None
 
 
 def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    y = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+    from .quantize import maybe_dequant
+
+    y = jnp.dot(x.astype(compute_dtype), maybe_dequant(p["w"], compute_dtype),
                 preferred_element_type=jnp.float32)
     return y + p["b"]
 

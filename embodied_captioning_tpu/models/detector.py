@@ -58,8 +58,10 @@ def conv(p: Params, x: jnp.ndarray, stride: int = 1,
     # bf16 in / bf16 out (MXU accumulates f32 internally); upcast after —
     # mixed-dtype operands with preferred_element_type break the conv
     # transpose rule, so the cast is explicit
+    from .quantize import maybe_dequant
+
     y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        x.astype(compute_dtype), maybe_dequant(p["w"], compute_dtype),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y.astype(jnp.float32) + p["b"]

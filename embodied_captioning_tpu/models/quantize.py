@@ -1,0 +1,97 @@
+"""Int8 weight quantization for serving (the bitsandbytes analog).
+
+The reference serves BLIP-2 with `load_in_8bit=True` and Llama-3 in 4-bit
+NF4 via bitsandbytes CUDA kernels (ref: captioner/models/blip2/blip2.py:
+16-29, captioner/pseudocaptioner.py:48-65). TPU-native equivalent:
+per-output-channel symmetric int8 weight quantization for every dense/conv
+kernel in a param pytree. XLA lowers the int8 x bf16 matmul pattern
+(dequantize-fused) natively on the MXU; HBM weight traffic halves vs bf16
+and quarters vs f32 — the win that matters for the decode loop, which is
+weight-bandwidth-bound at batch 1.
+
+Usage:
+    qparams = quantize_params(params)          # pytree with QuantizedArray
+    dense(p, x) works unchanged: models.common.dense dequantizes on the fly
+    via `maybe_dequant` (QuantizedArray is a pytree node).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedArray(NamedTuple):
+    """Symmetric per-channel int8 weight: w ≈ q * scale.
+
+    q: int8 [..., out]; scale: f32 [out] (last-axis channels)."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return self.q.astype(dtype) * self.scale.astype(dtype)
+
+
+def quantize_array(w: jnp.ndarray, axis: int = -1) -> QuantizedArray:
+    """Per-channel symmetric int8 quantization along `axis`."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(
+        i for i in range(w.ndim) if i != (axis % w.ndim)), keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedArray(q, jnp.squeeze(scale).astype(jnp.float32))
+
+
+def maybe_dequant(w: Any, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if isinstance(w, QuantizedArray):
+        return w.dequantize(dtype)
+    return w.astype(dtype)
+
+
+MIN_QUANT_SIZE = 1 << 14  # don't quantize small tensors (biases, LN, ...)
+
+
+def quantize_params(params: Any, min_size: int = MIN_QUANT_SIZE) -> Any:
+    """Quantize every large weight matrix in a param pytree. Embeddings and
+    2D+ kernels quantize per-output-channel; everything else stays f32."""
+
+    def q(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        # only matmul/conv kernels ("w"); embeddings stay f32 (they are
+        # indexed, not multiplied) and small tensors aren't worth it
+        if name == "w" and leaf.ndim >= 2 and leaf.size >= min_size:
+            return quantize_array(jnp.asarray(leaf))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(q, params)
+
+
+def quantization_ratio(params: Any) -> float:
+    """Fraction of parameter bytes stored as int8."""
+    total = q8 = 0
+
+    def count(leaf):
+        nonlocal total, q8
+        if isinstance(leaf, QuantizedArray):
+            total_local = leaf.q.size
+            q8_local = leaf.q.size
+        else:
+            total_local = leaf.size * 4
+            q8_local = 0
+        total += total_local
+        q8 += q8_local
+
+    jax.tree_util.tree_map(
+        count, params,
+        is_leaf=lambda x: isinstance(x, QuantizedArray))
+    return q8 / max(total, 1)

@@ -33,6 +33,8 @@ def main() -> None:
     from embodied_captioning_tpu.agents.registry import get_trainer
     import embodied_captioning_tpu.agents.baselines  # noqa: F401 (registry)
     import embodied_captioning_tpu.agents.goal_exploration  # noqa: F401
+    import embodied_captioning_tpu.agents.extra_trainers  # noqa: F401
+    import embodied_captioning_tpu.agents.ddppo  # noqa: F401
 
     overrides = list(args.overrides)
     if args.obs_dir:

@@ -1,0 +1,55 @@
+"""Int8 weight quantization: roundtrip error, pytree-ness, end-to-end
+quantized captioner generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from embodied_captioning_tpu.config import CaptionerConfig
+from embodied_captioning_tpu.models.captioner import generate, init_captioner
+from embodied_captioning_tpu.models.quantize import (
+    QuantizedArray, maybe_dequant, quantization_ratio, quantize_array,
+    quantize_params,
+)
+
+
+def test_quantize_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    q = quantize_array(w)
+    assert q.q.dtype == jnp.int8
+    assert q.scale.shape == (128,)
+    back = np.asarray(q.dequantize(jnp.float32))
+    err = np.abs(back - np.asarray(w)).max()
+    # max error bounded by scale/2 per channel
+    assert err <= float(np.asarray(q.scale).max())
+    rel = np.linalg.norm(back - np.asarray(w)) / np.linalg.norm(np.asarray(w))
+    assert rel < 0.01
+
+
+def test_quantize_params_selective():
+    cfg = CaptionerConfig.tiny()
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    qp = quantize_params(params, min_size=1024)
+    # some weights quantized, embeddings untouched
+    assert isinstance(qp["head"]["w"], QuantizedArray)
+    assert not isinstance(qp["tok_emb"], QuantizedArray)
+    assert not isinstance(qp["ln_text"]["g"], QuantizedArray)
+    assert quantization_ratio(qp) > 0.1
+    # quantized pytree still jits (QuantizedArray is a NamedTuple)
+    out = jax.jit(lambda p: maybe_dequant(p["head"]["w"]))(qp)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_quantized_generation_agrees(rng):
+    cfg = CaptionerConfig.tiny()
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray((rng.random((2, 64, 64, 3)) * 255).astype(np.uint8))
+    t_full, _, _ = generate(params, imgs, jax.random.PRNGKey(1), cfg)
+    qp = quantize_params(params, min_size=1024)
+    t_q, logits_q, _ = generate(qp, imgs, jax.random.PRNGKey(1), cfg)
+    assert t_q.shape == t_full.shape
+    assert np.isfinite(np.asarray(logits_q)).all()
+    # int8 round-off may flip some argmaxes on a random-init model; the
+    # contract is that generation runs and mostly agrees
+    agree = (np.asarray(t_q) == np.asarray(t_full)).mean()
+    assert agree > 0.5

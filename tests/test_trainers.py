@@ -1,0 +1,63 @@
+"""Trainer registry breadth: every registered trainer constructs and steps a
+few env steps (perception disabled for speed; the perception path is covered
+by the e2e run_exp drive and test_agents)."""
+
+import numpy as np
+import pytest
+
+from embodied_captioning_tpu.agents import get_trainer, list_trainers
+from embodied_captioning_tpu.config import load_config
+
+CFG = load_config("tiny", overrides=[
+    "runtime.num_envs=1", "sensors.height=48", "sensors.width=48",
+    "sim.scene_size=6.0", "sim.num_objects=4", "sim.episode_steps=6",
+    "map.voxel_size=0.1", "ppo.replanning_steps=3",
+])
+
+LIGHT_TRAINERS = [
+    "randombaseline", "rotatebaseline", "bouncebaseline",
+    "randomgoalsbaseline", "frontierbaseline-v1", "frontierbaseline-v2",
+    "frontierbaseline-v3", "curiosity-v0", "observeobjectbaseline",
+    "observeobjectdiscreteactionsbaseline",
+]
+
+
+def test_registry_has_reference_names():
+    names = set(list_trainers())
+    for expected in ["goalexplorationbaseline-v0", "goalexplorationbaseline-v1",
+                     "goalexplorationbaseline-v2", "frontierbaseline-v1",
+                     "randomgoalsbaseline", "myppo", "curiosity-v0",
+                     "informative-trajectories-v0",
+                     "randomgoalsbaselinecaptioner"]:
+        assert expected in names, expected
+
+
+@pytest.mark.parametrize("name", LIGHT_TRAINERS)
+def test_trainer_steps(name):
+    tr = get_trainer(name)(CFG, with_perception=False)
+    obs = tr.envs.observe()
+    for _ in range(3):
+        acts = tr.actions(obs)
+        assert len(acts) == 1 and all(0 <= a <= 3 for a in acts)
+        obs, _, _, _ = tr.envs.step(acts)
+
+
+def test_goalexploration_generate_without_perception():
+    tr = get_trainer("goalexplorationbaseline-v0")(CFG,
+                                                   with_perception=False)
+    tr.generate(4)
+    assert tr._step == 4
+
+
+def test_env_registry():
+    from embodied_captioning_tpu.envs.registry import ENV_REGISTRY, make_env
+
+    for expected in ["Habitat3Env", "GymHabitatEnv-v2",
+                     "SemanticDisagreement-v0", "SemanticDisagreement-kl",
+                     "Viz-v0", "Viz-v1"]:
+        assert expected in ENV_REGISTRY, expected
+    env = make_env("SemanticDisagreement-v0", CFG)
+    obs, r, done, info = env.step(1)
+    assert "area_ratio" in info and 0 <= info["area_ratio"] <= 1.5
+    with pytest.raises(KeyError):
+        make_env("nope", CFG)
