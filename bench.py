@@ -34,7 +34,9 @@ def main() -> None:
 
     cfg = load_config(preset)
     params = init_perception(jax.random.PRNGKey(0), cfg)
-    if os.environ.get("BENCH_INT8") == "1":
+    # int8 weights by default — the serving configuration (the reference
+    # serves BLIP-2 with load_in_8bit=True as well); BENCH_INT8=0 disables
+    if os.environ.get("BENCH_INT8", "1") == "1":
         from embodied_captioning_tpu.models.quantize import quantize_params
 
         params = quantize_params(params)

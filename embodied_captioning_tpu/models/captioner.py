@@ -226,6 +226,78 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
     return tokens, step_logits, lengths
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "num_beams"))
+def generate_beam(params: Params, images_u8: jnp.ndarray,
+                  cfg: CaptionerConfig, max_len: Optional[int] = None,
+                  num_beams: int = 4, length_penalty: float = 1.0):
+    """Beam-search caption generation (the reference's generate also exposes
+    beam decoding via HF BeamSearchScorer, ref: coca_model.py:205-333).
+
+    KV caches are maintained per beam (batch expanded B -> B*W) and
+    re-gathered along the batch axis after each beam reshuffle. Returns
+    (tokens [B, L] of the best beam, scores [B]).
+    """
+    max_len = max_len or cfg.max_caption_len
+    w = num_beams
+    b = images_u8.shape[0]
+    t = cfg.text
+    pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
+    # expand to beams: [B*W, Q, D]
+    pooled = jnp.repeat(pooled, w, axis=0)
+    head_dim = t.width // t.heads
+    bw = b * w
+    tc = tuple(KVCache.create(bw, max_len, t.heads, head_dim)
+               for _ in range(t.layers))
+    mc = tuple(KVCache.create(bw, max_len, t.heads, head_dim)
+               for _ in range(t.cross_layers))
+    from .common import precompute_kv
+
+    cross_kvs = tuple(precompute_kv(blk["xattn"], pooled, t.heads)
+                      for blk in params["mm_blocks"])
+
+    neg = jnp.float32(-1e9)
+    # beam 0 active, others dead at start (identical prefixes)
+    beam_scores0 = jnp.tile(jnp.asarray([0.0] + [neg] * (w - 1)), (b,))
+
+    def step(carry, pos):
+        tok, finished, scores, tokens_so_far, tc, mc = carry
+        logits, tc, mc = _decode_step(params, tok, pos, cross_kvs, tc, mc,
+                                      cfg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        # finished beams only extend with PAD at no cost
+        pad_only = jnp.full((bw, v), neg).at[:, PAD_ID].set(0.0)
+        logp = jnp.where(finished[:, None], pad_only, logp)
+        cand = scores[:, None] + logp                 # [B*W, V]
+        cand = cand.reshape(b, w * v)
+        top_scores, top_idx = jax.lax.top_k(cand, w)  # [B, W]
+        beam_src = top_idx // v                       # which beam
+        tok_next = (top_idx % v).astype(jnp.int32)
+        # flatten beam indices back to [B*W]
+        gather = (jnp.arange(b)[:, None] * w + beam_src).reshape(-1)
+        scores = top_scores.reshape(-1)
+        tok_flat = tok_next.reshape(-1)
+        finished = finished[gather] | (tok_flat == EOS_ID)
+        tokens_so_far = tokens_so_far[gather]
+        tc = tuple(KVCache(c.k[gather], c.v[gather], c.index) for c in tc)
+        mc = tuple(KVCache(c.k[gather], c.v[gather], c.index) for c in mc)
+        tokens_so_far = tokens_so_far.at[:, pos + 1].set(tok_flat)
+        return (tok_flat, finished, scores, tokens_so_far, tc, mc), None
+
+    tok0 = jnp.full((bw,), BOS_ID, jnp.int32)
+    fin0 = jnp.zeros((bw,), bool)
+    toks0 = jnp.zeros((bw, max_len), jnp.int32).at[:, 0].set(BOS_ID)
+    (_, fin, scores, tokens, _, _), _ = jax.lax.scan(
+        step, (tok0, fin0, beam_scores0, toks0, tc, mc),
+        jnp.arange(max_len - 1))
+    lengths = jnp.sum((tokens != PAD_ID).astype(jnp.float32), axis=1)
+    norm = scores / jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
+    norm = norm.reshape(b, w)
+    best = jnp.argmax(norm, axis=1)
+    tokens = tokens.reshape(b, w, max_len)[jnp.arange(b), best]
+    return tokens, norm[jnp.arange(b), best]
+
+
 def perplexity(step_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """exp(mean -log p(chosen)) over decode steps, per sequence
     (ref: captioner/captioning_predictor.py:34-47 computes it from the

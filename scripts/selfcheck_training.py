@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""End-to-end learning self-check: train the captioner on simulator GT and
+measure that captions become correct.
+
+This is the framework's analog of the reference's fine-tune-then-evaluate
+loop (BASELINE configs #3/#4: caption quality parity on a labeled test set)
+run fully in-framework: RaycastSim renders labeled scenes, GT crops get
+template captions ("a {color} {class}"), the captioner trains with
+train/captioner_train.train_step, and held-out crops are scored by
+class-word accuracy + sentence-cosine vs the reference captions.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_COLOR_WORDS = {
+    (0.55, 0.27, 0.15): "brown", (0.13, 0.55, 0.13): "green",
+    (0.66, 0.66, 0.86): "blue", (0.52, 0.37, 0.26): "brown",
+    (0.92, 0.92, 0.95): "white", (0.08, 0.08, 0.1): "black",
+}
+
+
+def _color_word(albedo) -> str:
+    import numpy as np
+
+    r, g, b = [float(x) for x in albedo]
+    if g > r and g > b:
+        return "green"
+    if r > 0.8 and g > 0.8 and b > 0.8:
+        return "white"
+    if r < 0.2 and g < 0.2 and b < 0.25:
+        return "black"
+    if b > r and b > g:
+        return "blue"
+    return "brown"
+
+
+def collect(cfg, episodes, steps, seed0, max_crops):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from embodied_captioning_tpu.config import CLASS_NAMES
+    from embodied_captioning_tpu.envs.sim import RaycastSim
+    from embodied_captioning_tpu.ops.detections import expand_boxes
+    from embodied_captioning_tpu.ops.image import crop_and_resize
+
+    size = cfg.captioner.vision.image_size
+    crops, caps, classes = [], [], []
+    rng = np.random.default_rng(seed0)
+    for ep in range(episodes):
+        sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
+        albedo_by_iid = {int(i): a for i, a in zip(
+            np.asarray(sim.scene.instance_id), np.asarray(sim.scene.albedo))
+            if i >= 0}
+        for _ in range(steps):
+            for _ in range(int(rng.integers(2, 6))):
+                sim.step(int(rng.integers(1, 4)))
+            obs = sim.observe()
+            det = sim.gt_detections(obs, max_instances=8)
+            v = np.asarray(det.valid)
+            if not v.any():
+                continue
+            boxes = np.asarray(det.boxes)
+            cls = np.asarray(det.classes)
+            iids = np.asarray(det.object_ids)
+            h, w = cfg.sensors.height, cfg.sensors.width
+            rgb = jnp.asarray(obs["rgb"], jnp.float32)
+            for i in np.nonzero(v)[0]:
+                eb = expand_boxes(jnp.asarray(boxes[i][None], jnp.float32),
+                                  0.2, h, w)
+                crop = crop_and_resize(rgb, eb, size)[0]
+                color = _color_word(albedo_by_iid.get(int(iids[i]),
+                                                      (0.5, 0.4, 0.3)))
+                crops.append(np.asarray(crop, np.uint8))
+                caps.append(f"a {color} {CLASS_NAMES[int(cls[i])]}")
+                classes.append(int(cls[i]))
+                if len(crops) >= max_crops:
+                    return crops, caps, classes
+    return crops, caps, classes
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny")
+    ap.add_argument("--train-crops", type=int, default=192)
+    ap.add_argument("--test-crops", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from embodied_captioning_tpu.config import CLASS_NAMES, load_config
+    from embodied_captioning_tpu.models.captioner import (
+        generate, init_captioner,
+    )
+    from embodied_captioning_tpu.models.sbert import SentenceEncoder
+    from embodied_captioning_tpu.models.tokenizer import default_tokenizer
+    from embodied_captioning_tpu.train.captioner_train import (
+        create_train_state, train_step,
+    )
+    from embodied_captioning_tpu.utils.metrics import caption_scores
+
+    cfg = load_config(args.preset, overrides=list(args.overrides))
+    t0 = time.time()
+    tr_crops, tr_caps, _ = collect(cfg, 6, 12, 0, args.train_crops)
+    te_crops, te_caps, te_cls = collect(cfg, 3, 8, 1000, args.test_crops)
+    print(f"[selfcheck] {len(tr_crops)} train / {len(te_crops)} test crops "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    if len(tr_crops) < args.batch or not te_crops:
+        print(json.dumps({"error": "not enough crops"}))
+        return
+
+    ccfg = cfg.captioner
+    tok = default_tokenizer(ccfg.text.vocab_size)
+    params = init_captioner(jax.random.PRNGKey(0), ccfg)
+    state = create_train_state(params, lr=args.lr)
+    tokens = tok.encode_batch(tr_caps, ccfg.text.context_length)
+    images = np.stack(tr_crops)
+    n = len(images)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    first = last = None
+    for step in range(args.steps):
+        sel = rng.choice(n, args.batch, replace=False)
+        state, aux = train_step(state, jnp.asarray(images[sel]),
+                                jnp.asarray(tokens[sel]),
+                                jnp.zeros(args.batch, jnp.int32),
+                                jnp.ones(args.batch, bool), ccfg, lr=args.lr)
+        loss = float(aux["loss"])
+        first = first if first is not None else loss
+        last = loss
+        if step % 50 == 0:
+            print(f"  step {step}: loss={loss:.3f}", flush=True)
+    print(f"[selfcheck] trained {args.steps} steps in "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    toks, _, _ = generate(state.params, jnp.asarray(np.stack(te_crops)),
+                          jax.random.PRNGKey(1), ccfg)
+    preds = [tok.decode(t) for t in np.asarray(toks)]
+    class_hits = sum(1 for p, c in zip(preds, te_cls)
+                     if CLASS_NAMES[c].split()[0] in p)
+    enc = SentenceEncoder.create(0, cfg.sentence_encoder)
+    ep = enc.encode(preds)
+    er = enc.encode(te_caps)
+    cos = float(np.mean(np.sum(ep * er, axis=1)))
+    bleu = float(np.mean([caption_scores(p, r)["bleu"]
+                          for p, r in zip(preds, te_caps)]))
+    print(json.dumps({
+        "train_crops": len(tr_crops), "test_crops": len(te_crops),
+        "first_loss": round(first, 3), "last_loss": round(last, 3),
+        "class_word_accuracy": round(class_hits / len(preds), 3),
+        "sbert_cosine": round(cos, 4), "bleu": round(bleu, 4),
+        "examples": [{"pred": p, "ref": r}
+                     for p, r in list(zip(preds, te_caps))[:4]],
+    }))
+
+
+if __name__ == "__main__":
+    main()

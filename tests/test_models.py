@@ -69,6 +69,19 @@ def test_generate_matches_uncached_forward(cap_params, rng):
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
 
 
+def test_beam_search(cap_params, rng):
+    from embodied_captioning_tpu.models.captioner import generate_beam
+
+    imgs = _images(rng)
+    bt, bs = generate_beam(cap_params, imgs, CFG, num_beams=3)
+    assert bt.shape == (2, CFG.max_caption_len)
+    assert np.isfinite(np.asarray(bs)).all()
+    # beam=1 must reproduce greedy decoding exactly
+    g, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG)
+    b1, _ = generate_beam(cap_params, imgs, CFG, num_beams=1)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(g))
+
+
 def test_sampling_modes(cap_params, rng):
     imgs = _images(rng, n=1)
     t_greedy, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG)
