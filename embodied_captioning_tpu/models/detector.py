@@ -87,7 +87,8 @@ def groupnorm(p: Params, x: jnp.ndarray, groups: int = 8,
 # ---------------------------------------------------------------------------
 
 ANCHOR_RATIOS = (0.5, 1.0, 2.0)
-NUM_ANCHORS = len(ANCHOR_RATIOS)
+ANCHOR_SCALES = (2.0, 4.0, 8.0)  # x stride
+NUM_ANCHORS = len(ANCHOR_RATIOS) * len(ANCHOR_SCALES)
 FPN_STRIDES = (4, 8, 16, 32)
 
 
@@ -188,18 +189,19 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
 
 
 def level_anchors(size: int, stride: int) -> jnp.ndarray:
-    """[Hl*Wl*A, 4] XYXY anchors for one level (scale 4*stride, 3 ratios)."""
+    """[Hl*Wl*A, 4] XYXY anchors for one level (3 scales x 3 ratios)."""
     hl = size // stride
     ys = (jnp.arange(hl) + 0.5) * stride
     xs = (jnp.arange(hl) + 0.5) * stride
     cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
-    base = 4.0 * stride
     anchors = []
-    for r in ANCHOR_RATIOS:
-        w = base * math.sqrt(1.0 / r)
-        h = base * math.sqrt(r)
-        anchors.append(jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2,
-                                  cy + h / 2], axis=-1))
+    for s in ANCHOR_SCALES:
+        base = s * stride
+        for r in ANCHOR_RATIOS:
+            w = base * math.sqrt(1.0 / r)
+            h = base * math.sqrt(r)
+            anchors.append(jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2,
+                                      cy + h / 2], axis=-1))
     return jnp.stack(anchors, axis=2).reshape(-1, 4)
 
 
@@ -331,13 +333,25 @@ def _mask_head(params: Params, fpn_p2: jnp.ndarray, boxes: jnp.ndarray,
 
 
 def _intermediates(params: Params, images: jnp.ndarray, cfg: DetectorConfig,
-                   dropout_rng=None, dropout_rate: float = 0.0
+                   dropout_rng=None, dropout_rate: float = 0.0,
+                   gt_boxes: Optional[jnp.ndarray] = None,
+                   gt_valid: Optional[jnp.ndarray] = None,
                    ) -> DetectorIntermediates:
     fpn = backbone_fpn(params, images, cfg)
     obj, deltas = _rpn_head(params, fpn)
     anchors = all_anchors(cfg.image_size)
     props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
         obj, deltas)
+    if gt_boxes is not None:
+        # training only: splice GT boxes into the proposal set (detectron2's
+        # add_gt_proposals) — guarantees clean foreground ROIs and breaks
+        # the RPN/ROI-head chicken-and-egg on cold starts
+        g = gt_boxes.shape[1]
+        props = jnp.concatenate([props[:, :-g], gt_boxes], axis=1)
+        pvalid = jnp.concatenate(
+            [pvalid[:, :-g],
+             gt_valid if gt_valid is not None
+             else jnp.ones(gt_boxes.shape[:2], bool)], axis=1)
     # proposals are training constants for the ROI head (detectron2 detaches
     # them as well); also keeps grads from flowing through the NMS scan,
     # which would blow up the backward graph
@@ -469,7 +483,8 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
     classes (ref: roi_head_wrappers.py:184-364). Returns (total, aux dict).
     """
     images = images_u8.astype(jnp.float32) / 255.0
-    inter = _intermediates(params, images, cfg, dropout_rng, dropout_rate)
+    inter = _intermediates(params, images, cfg, dropout_rng, dropout_rate,
+                           gt_boxes=gt.boxes, gt_valid=gt.valid)
     anchors = all_anchors(cfg.image_size)
     b = images.shape[0]
 
@@ -487,11 +502,15 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
                                                 pos[best_anchor]))
         neg = best_iou < 0.3
         obj_t = pos.astype(jnp.float32)
-        obj_w = (pos | neg).astype(jnp.float32)
-        obj_loss = jnp.sum(
-            obj_w * (jnp.maximum(obj, 0) - obj * obj_t
-                     + jnp.log1p(jnp.exp(-jnp.abs(obj))))
-        ) / jnp.maximum(jnp.sum(obj_w), 1.0)
+        bce = (jnp.maximum(obj, 0) - obj * obj_t
+               + jnp.log1p(jnp.exp(-jnp.abs(obj))))
+        # balanced normalization: a handful of positives must not drown in
+        # thousands of negatives (the role of RPN's 256-anchor sampler)
+        pos_w = pos.astype(jnp.float32)
+        neg_w = neg.astype(jnp.float32)
+        obj_loss = 0.5 * (
+            jnp.sum(bce * pos_w) / jnp.maximum(jnp.sum(pos_w), 1.0)
+            + jnp.sum(bce * neg_w) / jnp.maximum(jnp.sum(neg_w), 1.0))
         tgt_deltas = encode_boxes(anchors, gt_boxes[best_gt])
         box_w = pos.astype(jnp.float32)[:, None]
         rpn_box_loss = jnp.sum(_smooth_l1(deltas - tgt_deltas) * box_w) / \
@@ -532,7 +551,13 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
                               + 10.0 * _focal(probs, onehot))
         else:
             raise ValueError(f"unknown head {head!r}")
-        cls_loss = jnp.sum(cls_loss_v * w) / jnp.maximum(jnp.sum(w), 1.0)
+        # balanced fg/bg normalization (mirrors detectron2's 1:3 sampler)
+        fg_w = fg.astype(jnp.float32)
+        bg_w2 = bg.astype(jnp.float32)
+        cls_loss = (
+            0.5 * jnp.sum(cls_loss_v * fg_w) / jnp.maximum(jnp.sum(fg_w), 1.0)
+            + 0.5 * jnp.sum(cls_loss_v * bg_w2)
+            / jnp.maximum(jnp.sum(bg_w2), 1.0))
 
         tgt_roi_deltas = encode_boxes(props, gt_boxes[r_gt])
         fg_w = fg.astype(jnp.float32)[:, None]

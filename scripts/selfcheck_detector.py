@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Detector learning self-check: train the FPN/RPN/ROI detector on simulator
+GT and measure mAP improving (the detection-side analog of
+selfcheck_training.py; validates the loss family end-to-end)."""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect(cfg, episodes, steps_per_ep, seed0, rng):
+    import numpy as np
+
+    from embodied_captioning_tpu.envs.sim import RaycastSim
+
+    frames = []
+    for ep in range(episodes):
+        sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
+        for _ in range(steps_per_ep):
+            for _ in range(int(rng.integers(2, 6))):
+                sim.step(int(rng.integers(1, 4)))
+            obs = sim.observe()
+            det = sim.gt_detections(obs,
+                                    max_instances=cfg.detector.max_detections)
+            frames.append((np.asarray(obs["rgb"]), det))
+    return frames
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--head", default="ce")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from embodied_captioning_tpu.config import load_config
+    from embodied_captioning_tpu.models import detector as DET
+    from embodied_captioning_tpu.ops.detections import Detections
+    from embodied_captioning_tpu.utils.metrics import evaluate_detections
+
+    cfg = load_config(args.preset, overrides=list(args.overrides))
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    train_frames = collect(cfg, 6, 16, 0, rng)
+    test_frames = collect(cfg, 2, 12, 500, rng)
+    print(f"[selfcheck-det] {len(train_frames)} train / "
+          f"{len(test_frames)} test frames ({time.time() - t0:.0f}s)",
+          flush=True)
+
+    dcfg = cfg.detector
+    size = dcfg.image_size
+    params = DET.init_detector(jax.random.PRNGKey(0), dcfg)
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
+    opt_state = opt.init(params)
+
+    def resize_frame(rgb):
+        from embodied_captioning_tpu.ops.image import resize_bilinear
+
+        if rgb.shape[0] != size:
+            scale = size / rgb.shape[0]
+            return np.asarray(jnp.clip(resize_bilinear(
+                jnp.asarray(rgb, jnp.float32), size, size), 0, 255)
+            ).astype(np.uint8), scale
+        return rgb, 1.0
+
+    def batch_of(frames, idx):
+        imgs, dets = [], []
+        for i in idx:
+            rgb, det = frames[i]
+            rgb2, scale = resize_frame(rgb)
+            imgs.append(rgb2)
+            dets.append(det.replace(boxes=det.boxes * scale))
+        stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dets)
+        return jnp.asarray(np.stack(imgs)), stack
+
+    @jax.jit
+    def step_fn(params, opt_state, images, gt):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: DET.detector_loss(p, images, gt, dcfg,
+                                        head=args.head), has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def eval_map(params, frames):
+        preds, gts = [], []
+        for i in range(0, len(frames) - args.batch + 1, args.batch):
+            images, gt = batch_of(frames, range(i, i + args.batch))
+            det = DET.forward(params, images, dcfg, with_masks=False)
+            for b in range(images.shape[0]):
+                preds.append(Detections(
+                    boxes=det.boxes[b], classes=det.classes[b],
+                    scores=det.scores[b], logits=det.logits[b],
+                    valid=det.valid[b]))
+                gts.append(jax.tree_util.tree_map(lambda x: x[b], gt))
+        return evaluate_detections(preds, gts, dcfg.num_classes)["map"]
+
+    map_before = eval_map(params, test_frames)
+    print(f"[selfcheck-det] mAP@50 before: {map_before:.4f}", flush=True)
+    t0 = time.time()
+    first = last = None
+    for s in range(args.steps):
+        idx = rng.choice(len(train_frames), args.batch, replace=False)
+        images, gt = batch_of(train_frames, idx)
+        params, opt_state, loss = step_fn(params, opt_state, images, gt)
+        loss = float(loss)
+        first = first if first is not None else loss
+        last = loss
+        if s % 50 == 0:
+            print(f"  step {s}: loss={loss:.3f}", flush=True)
+    map_after = eval_map(params, test_frames)
+    map_train = eval_map(params, train_frames[: len(test_frames)])
+    print(json.dumps({
+        "frames": len(train_frames), "steps": args.steps,
+        "first_loss": round(first, 3), "last_loss": round(last, 3),
+        "map50_before": round(map_before, 4),
+        "map50_after": round(map_after, 4),
+        "map50_train": round(map_train, 4),
+        "train_seconds": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
