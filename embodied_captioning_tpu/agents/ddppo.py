@@ -47,11 +47,11 @@ class DistributedPPOTrainer(GoalExplorationTrainer):
         self.guard = PreemptionGuard(on_exit=self._requeue)
         self.guard.install()
         self.ckpt_mgr: Optional[CheckpointManager] = None
+        self._update_idx = 0
         if cfg.runtime.checkpoint_dir:
             self.ckpt_mgr = CheckpointManager(
                 os.path.join(cfg.runtime.checkpoint_dir, "ddppo"))
             self._maybe_resume()
-        self._update_idx = 0
 
     # -- elastic resume (ref: ppo_trainer.py:672-688 load_resume_state) ----
     def _maybe_resume(self) -> None:

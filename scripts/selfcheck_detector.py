@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--head", default="ce")
+    ap.add_argument("--split", default="scenes", choices=["scenes", "frames"],
+                    help="test on unseen scenes (hard) or held-out frames "
+                         "of the training scenes (standard)")
+    ap.add_argument("--episodes", type=int, default=6)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -53,8 +57,15 @@ def main() -> None:
     cfg = load_config(args.preset, overrides=list(args.overrides))
     rng = np.random.default_rng(0)
     t0 = time.time()
-    train_frames = collect(cfg, 6, 16, 0, rng)
-    test_frames = collect(cfg, 2, 12, 500, rng)
+    if args.split == "scenes":
+        train_frames = collect(cfg, args.episodes, 16, 0, rng)
+        test_frames = collect(cfg, 2, 12, 500, rng)
+    else:  # held-out frames of the same scenes
+        all_frames = collect(cfg, args.episodes, 20, 0, rng)
+        order = rng.permutation(len(all_frames))
+        n_test = max(8, len(all_frames) // 6)
+        test_frames = [all_frames[i] for i in order[:n_test]]
+        train_frames = [all_frames[i] for i in order[n_test:]]
     print(f"[selfcheck-det] {len(train_frames)} train / "
           f"{len(test_frames)} test frames ({time.time() - t0:.0f}s)",
           flush=True)
