@@ -150,7 +150,7 @@ def itc_score(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     """Image-text contrastive score [B]: max over queries of cosine(query
     embedding, text embedding) — BLIP-2 ITC semantics."""
     q = encode_image_queries(params, images_u8, cfg)
-    qe = dense(params["itc_img"], q)
+    qe = dense(params["itc_img"], q).astype(jnp.float32)
     qe = qe / jnp.maximum(jnp.linalg.norm(qe, axis=-1, keepdims=True), 1e-8)
     b = tokens.shape[0]
     feats = vit_features(params["vision"], preprocess_for_vit(
@@ -160,7 +160,7 @@ def itc_score(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     pad = (tokens != PAD_ID).astype(jnp.float32)[..., None]
     te = jnp.sum(txt_feats[:, nq:] * pad, axis=1) / jnp.maximum(
         jnp.sum(pad, axis=1), 1.0)
-    te = dense(params["itc_txt"], te)
+    te = dense(params["itc_txt"], te).astype(jnp.float32)
     te = te / jnp.maximum(jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-8)
     return jnp.max(jnp.einsum("bqd,bd->bq", qe, te), axis=1)
 

@@ -89,7 +89,7 @@ def forward(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1) - 1
     pooled_txt = jnp.take_along_axis(
         text_feats, lengths[:, None, None].clip(0), axis=1)[:, 0]
-    txt_emb = dense(params["text_proj"], pooled_txt)
+    txt_emb = dense(params["text_proj"], pooled_txt).astype(jnp.float32)
     txt_emb = txt_emb / jnp.maximum(
         jnp.linalg.norm(txt_emb, axis=-1, keepdims=True), 1e-8)
     return logits, img_emb, txt_emb

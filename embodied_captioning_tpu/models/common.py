@@ -30,11 +30,14 @@ def dense_init(key, d_in: int, d_out: int, scale: Optional[float] = None
 
 
 def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Matmul in compute dtype with f32 accumulation; output stays in the
+    compute dtype so the residual stream is bf16 (halves HBM traffic of the
+    elementwise chain between matmuls)."""
     from .quantize import maybe_dequant
 
     y = jnp.dot(x.astype(compute_dtype), maybe_dequant(p["w"], compute_dtype),
                 preferred_element_type=jnp.float32)
-    return y + p["b"]
+    return (y + p["b"]).astype(compute_dtype)
 
 
 def layernorm_init(dim: int) -> Params:
@@ -42,11 +45,16 @@ def layernorm_init(dim: int) -> Params:
             "b": jnp.zeros((dim,), jnp.float32)}
 
 
-def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
+              out_dtype=None) -> jnp.ndarray:
+    """Reductions in f32; output cast back to the input dtype by default so
+    bf16 residual streams stay bf16."""
+    out_dtype = out_dtype or x.dtype
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    return y.astype(out_dtype)
 
 
 def embedding_init(key, vocab: int, dim: int) -> jnp.ndarray:

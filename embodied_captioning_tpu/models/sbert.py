@@ -48,10 +48,10 @@ def encode_tokens(params: Params, tokens: jnp.ndarray,
     attn_mask = pad_mask[:, None, None, :]  # bidirectional, mask pads
     for blk in params["blocks"]:
         x, _ = block(blk, x, cfg.heads, mask=attn_mask)
-    x = layernorm(params["ln"], x)
+    x = layernorm(params["ln"], x, out_dtype=jnp.float32)
     w = pad_mask.astype(jnp.float32)[..., None]
     pooled = jnp.sum(x * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    e = dense(params["proj"], pooled)
+    e = dense(params["proj"], pooled).astype(jnp.float32)
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
 

@@ -78,6 +78,6 @@ def encode_image(params: Params, images_u8: jnp.ndarray, cfg: VitConfig,
     tokens = preprocess_for_vit(images_u8, cfg.image_size, cfg.patch_size)
     feats = vit_features(params, tokens, cfg)
     pooled = attentional_pool(params, feats, cfg.pool_heads)
-    g = dense(params["proj"], pooled[:, 0])
+    g = dense(params["proj"], pooled[:, 0]).astype(jnp.float32)
     g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
     return pooled, g
