@@ -167,6 +167,49 @@ def collate(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
     return out
 
 
+class SequentialEpisodeDataset:
+    """Windows of consecutive observations within an episode
+    (ref: detector/dataset.py:254-457 EpisodeSequentalObservationsDataset /
+    EpisodeFullDataset): item i is a list of `window` consecutive Samples
+    from one episode/camera, for temporally-consistent labeling."""
+
+    def __init__(self, base: EpisodeDetectionDataset, window: int = 4,
+                 stride: int = 1):
+        self.base = base
+        self.window = window
+        self.windows: List[List[int]] = []
+        by_ep: Dict[Tuple[int, int], List[int]] = {}
+        for idx, (ep, cam, step) in enumerate(base.index):
+            by_ep.setdefault((ep, cam), []).append(idx)
+        for idxs in by_ep.values():
+            for s in range(0, len(idxs) - window + 1, stride):
+                self.windows.append(idxs[s:s + window])
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def __getitem__(self, i: int) -> List[Sample]:
+        return [self.base[j] for j in self.windows[i]]
+
+
+class PartiallyAnnotatedEpisodeDataset(EpisodeDetectionDataset):
+    """Only a fraction of frames carry labels; the rest yield empty label
+    slots for semi-supervised training
+    (ref: detector/dataset.py:527 PartiallyAnnotatedEpisodeFullDataset)."""
+
+    def __init__(self, *args, annotated_fraction: float = 0.5, seed: int = 0,
+                 **kw):
+        super().__init__(*args, **kw)
+        rng = np.random.default_rng(seed)
+        self._annotated = rng.random(len(self.index)) < annotated_fraction
+
+    def __getitem__(self, i: int) -> Sample:
+        s = super().__getitem__(i)
+        if not self._annotated[i]:
+            s.valid[:] = False
+        return s
+
+
 def _resize_masks(masks: np.ndarray, h: int, w: int) -> np.ndarray:
     mh, mw = masks.shape[-2:]
     ys = (np.arange(h) * mh / h).astype(np.int32)

@@ -62,6 +62,25 @@ def test_dataset_roundtrip(tmp_path):
     assert batch["boxes"].shape == (2, 4, 4)
 
 
+def test_sequential_and_partial_datasets(tmp_path):
+    from embodied_captioning_tpu.labeling.datasets import (
+        PartiallyAnnotatedEpisodeDataset, SequentialEpisodeDataset,
+    )
+
+    _write_fake_episode(tmp_path, steps=5)
+    base = EpisodeDetectionDataset(str(tmp_path), label_modality="bbs",
+                                   max_detections=4)
+    seq = SequentialEpisodeDataset(base, window=3)
+    assert len(seq) == 3  # 5 steps -> 3 windows
+    w = seq[0]
+    assert len(w) == 3 and w[0].step + 1 == w[1].step
+
+    part = PartiallyAnnotatedEpisodeDataset(
+        str(tmp_path), label_modality="bbs", max_detections=4,
+        annotated_fraction=0.0)
+    assert all(not part[i].valid.any() for i in range(len(part)))
+
+
 def test_augmentations_keep_boxes_valid(tmp_path):
     _write_fake_episode(tmp_path)
     ds = EpisodeDetectionDataset(str(tmp_path), label_modality="bbs",
