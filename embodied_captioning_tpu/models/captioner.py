@@ -124,15 +124,6 @@ def caption_loss(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
 # KV-cached generation
 # ---------------------------------------------------------------------------
 
-class GenState(NamedTuple):
-    tokens: jnp.ndarray       # [B, L] generated ids (BOS at 0)
-    logits: jnp.ndarray       # [B, L, V] per-step logits (for perplexity)
-    finished: jnp.ndarray     # [B]
-    text_caches: Tuple[KVCache, ...]
-    mm_caches: Tuple[KVCache, ...]
-    key: jnp.ndarray
-
-
 def _decode_step(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
                  cross_kvs, text_caches, mm_caches, cfg: CaptionerConfig):
     """One cached decoder step: tok [B] -> logits [B, V]. Cross-attention
