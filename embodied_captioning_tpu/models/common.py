@@ -132,6 +132,9 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
 
     Returns (out [B, Tq, D], updated cache or None).
     """
+    # (QKV-fusion into one matmul was measured neutral-to-negative here —
+    # XLA already schedules the three same-input matmuls well; keeping the
+    # simple form)
     q = _split_heads(dense(p["q"], x, compute_dtype), heads)
     if kv_precomputed is not None:
         k, v = kv_precomputed
