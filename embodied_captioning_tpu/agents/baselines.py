@@ -110,6 +110,10 @@ class BaseTrainer:
                 scale = d_i.shape[0] / self.cfg.detector.image_size
                 per_env = per_env.replace(boxes=per_env.boxes * scale)
             env.update_pointcloud(per_env, depth=d_i, pose=pose)
+            if hasattr(env, "set_last_frame"):
+                # KL-reward env variant needs the frame's detections
+                # (ref: env_semantic_disagreement_kl.py)
+                env.set_last_frame(per_env, d_i, pose)
         return result
 
     def save_step_obs(self, obs, result) -> None:

@@ -233,6 +233,7 @@ class RuntimeConfig:
     """Execution / parallelism."""
 
     num_envs: int = 4
+    env_name: str = "Habitat3Env"  # envs/registry.py name
     detector_batch: int = 8  # ref: goal_exploration.py:77
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)

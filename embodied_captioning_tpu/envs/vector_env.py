@@ -25,9 +25,12 @@ from .sim import Scene, render
 class VectorEnv:
     def __init__(self, cfg: ExperimentConfig,
                  num_envs: Optional[int] = None):
+        from .registry import make_env
+
         self.cfg = cfg
         n = num_envs or cfg.runtime.num_envs
-        self.envs: List[EmbodiedEnv] = [EmbodiedEnv(cfg, env_id=i)
+        name = getattr(cfg.runtime, "env_name", "Habitat3Env")
+        self.envs: List[EmbodiedEnv] = [make_env(name, cfg, env_id=i)
                                         for i in range(n)]
         self._pending: Dict[int, int] = {}
 
