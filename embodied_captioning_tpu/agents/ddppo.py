@@ -28,7 +28,7 @@ from ..parallel.mesh import make_mesh
 from ..utils.checkpoint import CheckpointManager, PreemptionGuard
 from ..utils.profiling import PROFILER
 from .goal_exploration import GoalExplorationTrainer
-from .ppo import PPOState, create_state, ppo_update
+from .ppo import ppo_update
 from .registry import register_trainer
 from .storage import Rollout
 

@@ -89,8 +89,6 @@ class RandomGoalsCaptionerBaseline(RandomGoalsBaseline):
     simulator's GT sensor; crops still go through the captioner+SBERT."""
 
     def perceive_and_fuse(self, obs):
-        import numpy as _np
-
         from ..models.captioner import generate
         from ..models.sbert import encode_tokens
         from ..ops.detections import expand_boxes

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import ExperimentConfig
 from ..ops.image import resize_bilinear
-from .baselines import BaseTrainer, _GoalDirectedTrainer
+from .baselines import _GoalDirectedTrainer
 from .policy import act as policy_act
 from .policy import init_policy
 from .ppo import PPOState, create_state, ppo_update

@@ -19,7 +19,6 @@ import numpy as np
 
 from ..config import ExperimentConfig
 from .env import EmbodiedEnv
-from .sim import Scene, render
 
 
 class VectorEnv:
