@@ -219,12 +219,13 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: Blip2Config,
     caches = tuple(KVCache.create(b, nq + max_len, cfg.lm_heads, head_dim)
                    for _ in range(cfg.lm_layers))
 
-    # prime the caches with the prefix; mask=None + cache gives full
-    # prefix-to-prefix visibility (prefix-LM semantics)
+    # prime the caches with the prefix; cache_block_causal=False keeps full
+    # prefix-to-prefix visibility (prefix-LM semantics, matching lm_logits)
     x = prefix + params["lm_pos"][None, :nq]
     new_caches = []
     for blk, c in zip(params["lm_blocks"], caches):
-        x, c = block(blk, x, cfg.lm_heads, cache=c)
+        x, c = block(blk, x, cfg.lm_heads, cache=c,
+                     cache_block_causal=False)
         new_caches.append(c)
     caches = tuple(new_caches)
 

@@ -217,6 +217,158 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
     return tokens, step_logits, lengths
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "draft_len",
+                                              "draft_layers"))
+def generate_speculative(params: Params, images_u8: jnp.ndarray,
+                         cfg: CaptionerConfig, max_len: Optional[int] = None,
+                         draft_len: int = 4, draft_layers: int = 1):
+    """Self-speculative greedy decoding (layer-skip drafting; cf. the
+    SpecVLM/VVS family in PAPERS.md): a cheap draft — the text tower plus the
+    first `draft_layers` multimodal blocks — proposes `draft_len` tokens,
+    then ONE full-model pass verifies them all in parallel.
+
+    Exactness: output is bit-identical to `generate` with temperature=0.
+    Acceptance is batch-synchronized (min across rows), so cache entries for
+    accepted positions are correct for every row, and rollback is free: the
+    KV caches mask positions >= index, so rejecting tokens just rewinds the
+    index. Best suited to small-batch / latency-critical serving; at large
+    batch the min-acceptance collapses toward plain decoding.
+
+    Returns (tokens [B, L], lengths [B]).
+    """
+    max_len = max_len or cfg.max_caption_len
+    b = images_u8.shape[0]
+    t = cfg.text
+    pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
+    head_dim = t.width // t.heads
+    cache_cap = max_len + draft_len + 1
+    tc = tuple(KVCache.create(b, cache_cap, t.heads, head_dim)
+               for _ in range(t.layers))
+    mc = tuple(KVCache.create(b, cache_cap, t.heads, head_dim)
+               for _ in range(t.cross_layers))
+    from .common import precompute_kv
+
+    cross_kvs = tuple(precompute_kv(blk["xattn"], pooled, t.heads)
+                      for blk in params["mm_blocks"])
+
+    def run(tokens_blk, pos0, tc, mc, n_mm_layers, use_draft_head):
+        """Teacher-forced pass of [B, W] tokens starting at pos0 with cache
+        writes; returns (logits [B, W, V], tc, mc)."""
+        w = tokens_blk.shape[1]
+        pos = pos0 + jnp.arange(w)
+        x = params["tok_emb"][tokens_blk] + params["pos_emb"][pos][None]
+        new_tc = []
+        for blk, c in zip(params["text_blocks"], tc):
+            x, c = block(blk, x, t.heads, cache=c)
+            new_tc.append(c)
+        x = layernorm(params["ln_text"], x)
+        new_mc = []
+        for i, (blk, c, ckv) in enumerate(zip(params["mm_blocks"], mc,
+                                              cross_kvs)):
+            if i < n_mm_layers:
+                x, c = block(blk, x, t.heads, cache=c, cross_kv=ckv)
+            new_mc.append(c)
+        x = layernorm(params["ln_mm"], x)
+        return dense(params["head"], x), tuple(new_tc), tuple(new_mc)
+
+    # worst case (zero acceptance) advances one token per macro step; a
+    # pass-through guard makes completed steps cheap no-ops
+    n_macro = max_len - 1
+    w = draft_len
+
+    def macro_body(carry):
+        tokens, cur_tok, pos, finished, tc, mc = carry
+        # ---- draft: propose w tokens autoregressively (cheap layers) ------
+        def draft_one(c, i):
+            tok, dtc = c
+            logits, dtc, _ = run(tok[:, None], pos + i, dtc, mc,
+                                 draft_layers, True)
+            nxt = jnp.argmax(logits[:, 0].astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            return (nxt, dtc), nxt
+
+        (_, _), drafts = jax.lax.scan(draft_one, (cur_tok, tc),
+                                      jnp.arange(w))
+        drafts = jnp.moveaxis(drafts, 0, 1)  # [B, W]
+        # rewind the text caches the draft advanced (index masks the rest)
+        tc = tuple(KVCache(c.k, c.v, pos) for c in tc)
+
+        # ---- verify: one full pass over [cur_tok, d0..d_{w-2}] ------------
+        blk_tokens = jnp.concatenate([cur_tok[:, None], drafts[:, :-1]],
+                                     axis=1)  # [B, W]
+        logits, tc, mc = run(blk_tokens, pos, tc, mc, t.cross_layers, False)
+        full_next = jnp.argmax(logits.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)  # [B, W]
+        # column j predicts the token at position pos+1+j
+        match = (full_next == drafts) | finished[:, None]
+        acc_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                          axis=1)
+        # cap acceptance at the first EOS (greedy stops there)
+        eos_cap = jnp.sum(jnp.cumprod(
+            (drafts != EOS_ID).astype(jnp.int32), axis=1), axis=1) + 1
+        acc_row = jnp.minimum(acc_row, eos_cap)
+        a = jnp.min(acc_row)                       # batch-synchronized
+        a = jnp.clip(a, 0, w)
+
+        idxs = jnp.arange(w)
+        # write accepted drafts at positions pos+1 .. pos+a
+        def body(i, tok):
+            val = drafts[:, i]
+            val = jnp.where(finished, PAD_ID, val)
+            return jax.lax.cond(
+                i < a,
+                lambda tt: jax.lax.dynamic_update_slice(
+                    tt, val[:, None], (0, pos + 1 + i)),
+                lambda tt: tt, tok)
+
+        tokens = jax.lax.fori_loop(0, w, body, tokens)
+        # track EOS inside the accepted span
+        finished_after = finished | jnp.any(
+            jnp.where(idxs[None, :] < a, drafts == EOS_ID, False), axis=1)
+
+        full_accept = a >= w
+        # next current token: correction full_next[:, a] when a < w, else the
+        # last draft (already written, not yet cached)
+        corr = jnp.take_along_axis(
+            full_next, jnp.clip(a, 0, w - 1)[None].repeat(b)[:, None],
+            axis=1)[:, 0]
+        nxt = jnp.where(full_accept, drafts[:, w - 1], corr)
+        nxt = jnp.where(finished_after, PAD_ID, nxt)
+        # write the correction token (only when a < w; at full acceptance the
+        # loop above already wrote every position)
+        tokens = jax.lax.cond(
+            full_accept,
+            lambda tt: tt,
+            lambda tt: jax.lax.dynamic_update_slice(
+                tt, nxt[:, None], (0, pos + 1 + a)), tokens)
+        finished_after = finished_after | (nxt == EOS_ID)
+
+        # cache entries are valid through the position of `nxt` - 1;
+        # new pos = position of nxt = pos + a + (0 if full_accept else 1)...
+        # full acceptance: nxt = d_{w-1} at position pos + w = pos + a;
+        # partial: nxt = correction at position pos + a + 1.
+        new_pos = pos + a + jnp.where(full_accept, 0, 1)
+        tc = tuple(KVCache(c.k, c.v, new_pos) for c in tc)
+        mc = tuple(KVCache(c.k, c.v, new_pos) for c in mc)
+        return (tokens, nxt, new_pos, finished_after, tc, mc)
+
+    def macro_step(carry, _):
+        tokens, cur_tok, pos, finished, tc, mc = carry
+        done = jnp.all(finished) | (pos >= max_len - 1)
+        carry = jax.lax.cond(done, lambda c: c, macro_body, carry)
+        return carry, None
+
+    tokens0 = jnp.zeros((b, max_len + draft_len + 1),
+                        jnp.int32).at[:, 0].set(BOS_ID)
+    carry = (tokens0, jnp.full((b,), BOS_ID, jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((b,), bool), tc, mc)
+    (tokens, _, _, _, _, _), _ = jax.lax.scan(macro_step, carry, None,
+                                              length=n_macro)
+    tokens = tokens[:, :max_len]
+    lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1)
+    return tokens, lengths
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "num_beams"))
 def generate_beam(params: Params, images_u8: jnp.ndarray,
                   cfg: CaptionerConfig, max_len: Optional[int] = None,

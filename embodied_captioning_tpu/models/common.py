@@ -119,6 +119,7 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         compute_dtype=jnp.bfloat16,
         causal: bool = False,
         kv_precomputed=None,
+        cache_block_causal: bool = True,
         ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Multi-head attention.
 
@@ -145,15 +146,24 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
 
     if cache is not None:
         tq = q.shape[1]
+        old_index = cache.index
         k_new = jax.lax.dynamic_update_slice(
-            cache.k, k.astype(cache.k.dtype), (0, cache.index, 0, 0))
+            cache.k, k.astype(cache.k.dtype), (0, old_index, 0, 0))
         v_new = jax.lax.dynamic_update_slice(
-            cache.v, v.astype(cache.v.dtype), (0, cache.index, 0, 0))
-        cache = KVCache(k_new, v_new, cache.index + tq)
+            cache.v, v.astype(cache.v.dtype), (0, old_index, 0, 0))
+        cache = KVCache(k_new, v_new, old_index + tq)
         k, v = k_new, v_new
         t_max = k.shape[1]
         pos = jnp.arange(t_max)[None, None, None, :]  # [1,1,1,Tk]
-        cache_mask = pos < cache.index
+        if cache_block_causal:
+            # causal WITHIN the newly written block too: query i (position
+            # old_index + i) sees keys <= its own position — required for
+            # multi-token teacher-forced verification passes
+            q_pos = old_index + jnp.arange(tq)  # [Tq]
+            cache_mask = pos <= q_pos[None, None, :, None]
+        else:
+            # full visibility over everything written (prefix-LM priming)
+            cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
 
     # opt-in Pallas flash path: uncached SELF-attention with no explicit
@@ -220,12 +230,14 @@ def block(p: Params, x: jnp.ndarray, heads: int,
           cross: Optional[jnp.ndarray] = None,
           cache: Optional[KVCache] = None, compute_dtype=jnp.bfloat16,
           causal: bool = False, cross_kv=None,
+          cache_block_causal: bool = True,
           ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Pre-LN transformer block with optional cross-attention sublayer.
     `causal=True` marks a pure causal mask, unlocking the flash kernel;
     `cross_kv` supplies precomputed cross-attention K/V (decode loop)."""
     h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
-                   cache=cache, compute_dtype=compute_dtype, causal=causal)
+                   cache=cache, compute_dtype=compute_dtype, causal=causal,
+                   cache_block_causal=cache_block_causal)
     x = x + h
     if (cross is not None or cross_kv is not None) and "xattn" in p:
         h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,

@@ -82,6 +82,44 @@ def test_beam_search(cap_params, rng):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(g))
 
 
+def test_speculative_decode_exactness(cap_params, rng):
+    """Self-speculative decoding must be bit-identical to greedy for any
+    draft length/depth (incl. draft == full model: 100% acceptance)."""
+    from embodied_captioning_tpu.models.captioner import generate_speculative
+
+    imgs = _images(rng, n=3)
+    g, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG)
+    for dl, dy in [(2, CFG.text.cross_layers), (3, 1), (4, 0)]:
+        s, lens = generate_speculative(cap_params, imgs, CFG, draft_len=dl,
+                                       draft_layers=dy)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g),
+                                      err_msg=f"dl={dl} layers={dy}")
+    assert (np.asarray(lens) > 0).all()
+
+
+def test_multi_token_cached_block_is_causal(cap_params, rng):
+    """Teacher-forcing W tokens through the cache in ONE call must equal W
+    single-token cached steps (regression: in-block causal masking)."""
+    import jax.numpy as jnp
+
+    from embodied_captioning_tpu.models.common import KVCache, block
+
+    blk = cap_params["text_blocks"][0]
+    heads = CFG.text.heads
+    x = jnp.asarray(rng.standard_normal((2, 5, CFG.text.width)),
+                    jnp.float32)
+    c_multi = KVCache.create(2, 8, heads, CFG.text.width // heads)
+    out_multi, _ = block(blk, x, heads, cache=c_multi)
+    c_step = KVCache.create(2, 8, heads, CFG.text.width // heads)
+    outs = []
+    for i in range(5):
+        o, c_step = block(blk, x[:, i:i + 1], heads, cache=c_step)
+        outs.append(o)
+    out_steps = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(out_multi), np.asarray(out_steps),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_sampling_modes(cap_params, rng):
     imgs = _images(rng, n=1)
     t_greedy, _, _ = generate(cap_params, imgs, jax.random.PRNGKey(0), CFG)
