@@ -177,9 +177,12 @@ def integrate_frame(state: VoxelMapState, depth: jnp.ndarray,
         best = jnp.argmin(dist_m)
         has_match = jnp.isfinite(dist_m[best])
         free = jnp.argmin(obj_active.astype(jnp.int32))  # first inactive slot
-        slot = jnp.where(has_match, best, free)
+        # when every slot is active and nothing matched, DROP the detection
+        # (slot -1, upd False) instead of merging it into slot 0
+        has_free = ~jnp.all(obj_active)
+        slot = jnp.where(has_match, best, jnp.where(has_free, free, -1))
         slot = jnp.where(usable[i], slot, -1)
-        upd = usable[i]
+        upd = slot >= 0
         obj_active = obj_active.at[slot].set(jnp.where(upd, True,
                                                        obj_active[slot]))
         obj_class = obj_class.at[slot].set(jnp.where(upd, cls,
@@ -203,7 +206,7 @@ def integrate_frame(state: VoxelMapState, depth: jnp.ndarray,
     def append(carry, i):
         obj_logits, obj_logit_cnt, obj_emb, obj_emb_cnt = carry
         s = slots[i]
-        upd = usable[i]
+        upd = usable[i] & (s >= 0)  # overflow-dropped detections have slot -1
         lpos = obj_logit_cnt[s] % K
         epos = obj_emb_cnt[s] % K
         obj_logits = obj_logits.at[s, lpos].set(

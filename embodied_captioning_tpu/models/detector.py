@@ -487,20 +487,24 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
                            gt_boxes=gt.boxes, gt_valid=gt.valid)
     anchors = all_anchors(cfg.image_size)
     b = images.shape[0]
+    with_masks = gt.masks is not None
 
     def per_image(obj, deltas, props, pvalid, feats, cls_logits, box_deltas,
-                  gt_boxes, gt_classes, gt_valid, gt_soft):
+                  gt_boxes, gt_classes, gt_valid, gt_soft, p2, gt_masks):
         # ---- RPN ----
         iou = pairwise_iou(anchors, gt_boxes)          # [A, G]
         iou = iou * gt_valid[None, :]
         best_iou = jnp.max(iou, axis=1)
         best_gt = jnp.argmax(iou, axis=1)
         pos = best_iou > 0.7
-        # each gt's best anchor is positive too
+        # each gt's best anchor is positive too; .max is monotonic, so
+        # duplicate best_anchor indices (two GTs sharing an anchor) are
+        # deterministic (True wins) unlike mixed .set scatters
         best_anchor = jnp.argmax(iou, axis=0)          # [G]
-        pos = pos.at[best_anchor].set(jnp.where(gt_valid, True,
-                                                pos[best_anchor]))
-        neg = best_iou < 0.3
+        pos = pos.at[best_anchor].max(gt_valid)
+        # negatives must exclude forced positives: a low-IoU anchor that is
+        # some GT's best match would otherwise enter both BCE normalizers
+        neg = (best_iou < 0.3) & ~pos
         obj_t = pos.astype(jnp.float32)
         bce = (jnp.maximum(obj, 0) - obj * obj_t
                + jnp.log1p(jnp.exp(-jnp.abs(obj))))
@@ -563,16 +567,44 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
         fg_w = fg.astype(jnp.float32)[:, None]
         roi_box_loss = jnp.sum(_smooth_l1(box_deltas - tgt_roi_deltas) * fg_w
                                ) / jnp.maximum(jnp.sum(fg_w) * 4, 1.0)
-        return obj_loss, rpn_box_loss, cls_loss, roi_box_loss
+
+        # ---- mask head (ref: utils/detectron_utils.py:202
+        # weighted_mask_rcnn_loss): per-fg-proposal BCE between the matched
+        # class's mask logits and the GT full-frame mask ROI-aligned into
+        # the proposal box at mask resolution ----
+        if with_masks:
+            mlogits = _mask_head(params, p2, props, cls_t, cfg)  # [P, m, m]
+            # GT masks as channels: one separable-matmul roi_align resamples
+            # every GT mask into every proposal box; then pick the match
+            # GT masks may live at sensor resolution (e.g. 256^2) while boxes
+            # are in detector pixels — rescale via the static mask shape
+            mask_scale = gt_masks.shape[-1] / cfg.image_size
+            aligned = roi_align(
+                jnp.transpose(gt_masks, (1, 2, 0)).astype(jnp.float32),
+                props, cfg.mask_size, spatial_scale=mask_scale)  # [P,m,m,G]
+            tgt = jnp.take_along_axis(
+                aligned, r_gt[:, None, None, None], axis=-1)[..., 0]
+            tgt = (tgt >= 0.5).astype(jnp.float32)
+            mbce = (jnp.maximum(mlogits, 0) - mlogits * tgt
+                    + jnp.log1p(jnp.exp(-jnp.abs(mlogits))))
+            mw = fg.astype(jnp.float32)[:, None, None]
+            mask_loss = jnp.sum(mbce * mw) / jnp.maximum(
+                jnp.sum(mw) * cfg.mask_size * cfg.mask_size, 1.0)
+        else:
+            mask_loss = jnp.zeros(())
+        return obj_loss, rpn_box_loss, cls_loss, roi_box_loss, mask_loss
 
     gt_soft = gt.logits if gt.logits is not None else jnp.zeros(
         (b, gt.capacity, cfg.num_classes))
+    gt_masks = gt.masks if with_masks else jnp.zeros(
+        (b, gt.boxes.shape[1], 1, 1))
     losses = jax.vmap(per_image)(
         inter.rpn_obj, inter.rpn_deltas, inter.proposals,
         inter.proposal_valid, inter.roi_features, inter.class_logits,
-        inter.box_deltas, gt.boxes, gt.classes, gt.valid, gt_soft)
-    obj_l, rpnb_l, cls_l, roib_l = [jnp.mean(l) for l in losses]
-    total = obj_l + rpnb_l + cls_l + roib_l
+        inter.box_deltas, gt.boxes, gt.classes, gt.valid, gt_soft,
+        inter.fpn[0], gt_masks)
+    obj_l, rpnb_l, cls_l, roib_l, mask_l = [jnp.mean(l) for l in losses]
+    total = obj_l + rpnb_l + cls_l + roib_l + mask_l
     aux = {"rpn_obj": obj_l, "rpn_box": rpnb_l, "roi_cls": cls_l,
-           "roi_box": roib_l}
+           "roi_box": roib_l, "mask": mask_l}
     return total, aux

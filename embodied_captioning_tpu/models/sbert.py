@@ -20,15 +20,15 @@ import numpy as np
 
 from ..config import SentenceEncoderConfig
 from .common import (
-    Params, block, block_init, dense, dense_init, embedding_init,
-    layernorm, layernorm_init,
+    Params, block, block_init, block_post_ln, dense, dense_init,
+    embedding_init, layernorm, layernorm_init,
 )
 from .tokenizer import PAD_ID, Tokenizer, default_tokenizer
 
 
 def init_sentence_encoder(key, cfg: SentenceEncoderConfig) -> Params:
     ks = jax.random.split(key, cfg.layers + 3)
-    return {
+    p = {
         "tok_emb": embedding_init(ks[0], cfg.vocab_size, cfg.width),
         "pos_emb": jax.random.normal(ks[1], (cfg.max_len, cfg.width)) * 0.02,
         "blocks": [block_init(ks[2 + i], cfg.width, cfg.heads, cfg.mlp_ratio)
@@ -36,22 +36,43 @@ def init_sentence_encoder(key, cfg: SentenceEncoderConfig) -> Params:
         "ln": layernorm_init(cfg.width),
         "proj": dense_init(ks[-1], cfg.width, cfg.embed_dim),
     }
+    if cfg.post_ln:
+        # BERT applies LayerNorm to the embedding sum before the first block
+        p["emb_ln"] = layernorm_init(cfg.width)
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_tokens(params: Params, tokens: jnp.ndarray,
                   cfg: SentenceEncoderConfig) -> jnp.ndarray:
-    """[B, T] int32 -> [B, embed_dim] L2-normalized sentence embeddings."""
+    """[B, T] int32 -> [B, embed_dim] L2-normalized sentence embeddings.
+
+    With cfg.post_ln=True this computes the exact BERT/MiniLM encoder +
+    SBERT mean-pooling function (emb LN -> post-LN blocks -> masked mean ->
+    L2 norm), so converted all-MiniLM-L6-v2 weights reproduce reference
+    embeddings (ref: SentenceTransformer("all-MiniLM-L6-v2"), used at
+    agents/goal_exploration/goal_exploration.py:57).
+    """
+    cdt = jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16
     t = tokens.shape[1]
     pad_mask = tokens != PAD_ID  # [B, T]
     x = params["tok_emb"][tokens] + params["pos_emb"][None, :t]
     attn_mask = pad_mask[:, None, None, :]  # bidirectional, mask pads
-    for blk in params["blocks"]:
-        x, _ = block(blk, x, cfg.heads, mask=attn_mask)
-    x = layernorm(params["ln"], x, out_dtype=jnp.float32)
+    if cfg.post_ln:
+        from .common import BERT_LN_EPS
+
+        x = layernorm(params["emb_ln"], x, eps=BERT_LN_EPS)
+        for blk in params["blocks"]:
+            x = block_post_ln(blk, x, cfg.heads, mask=attn_mask,
+                              compute_dtype=cdt)
+        x = x.astype(jnp.float32)
+    else:
+        for blk in params["blocks"]:
+            x, _ = block(blk, x, cfg.heads, mask=attn_mask, compute_dtype=cdt)
+        x = layernorm(params["ln"], x, out_dtype=jnp.float32)
     w = pad_mask.astype(jnp.float32)[..., None]
     pooled = jnp.sum(x * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    e = dense(params["proj"], pooled).astype(jnp.float32)
+    e = dense(params["proj"], pooled, compute_dtype=cdt).astype(jnp.float32)
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
 

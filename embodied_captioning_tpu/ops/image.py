@@ -156,14 +156,14 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
     return fine.mean(axis=(2, 4))
 
 
-def paste_masks(mask_logits: jnp.ndarray, boxes: jnp.ndarray, height: int,
+def paste_masks(mask_probs: jnp.ndarray, boxes: jnp.ndarray, height: int,
                 width: int) -> jnp.ndarray:
-    """Paste [N, m, m] ROI mask logits into full-frame [N, H, W] probability
-    maps (detectron2 paste_masks_in_image semantics). Separable: per det,
-    out = Wy @ sigmoid-later(mask) @ Wx^T with weights zeroed outside the
-    box — two tiny MXU matmuls per detection instead of 4 full-frame
-    gathers."""
-    n, m, _ = mask_logits.shape
+    """Paste [N, m, m] ROI mask probabilities into full-frame [N, H, W]
+    probability maps (detectron2 paste_masks_in_image semantics; the caller
+    sigmoids logits first — detector.forward already does). Separable: per
+    det, out = Wy @ mask @ Wx^T with weights zeroed outside the box — two
+    tiny MXU matmuls per detection instead of 4 full-frame gathers."""
+    n, m, _ = mask_probs.shape
     ys = jnp.arange(height, dtype=jnp.float32)
     xs = jnp.arange(width, dtype=jnp.float32)
     x1 = boxes[:, 0]
@@ -175,7 +175,7 @@ def paste_masks(mask_logits: jnp.ndarray, boxes: jnp.ndarray, height: int,
     v = (ys[None, :] - y1[:, None]) / bh[:, None] * m - 0.5  # [N, H]
     wx = jax.vmap(lambda s: _interp_weights(s, m, zero_outside=True))(u)
     wy = jax.vmap(lambda s: _interp_weights(s, m, zero_outside=True))(v)
-    probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    probs = mask_probs.astype(jnp.float32)
     tmp = jnp.einsum("nhv,nvu->nhu", wy, probs,
                      preferred_element_type=jnp.float32)
     return jnp.einsum("nwu,nhu->nhw", wx, tmp,

@@ -109,23 +109,35 @@ def convert_bert_encoder(state: Mapping[str, Any], prefix: str = ""
 
     Keys: `embeddings.word_embeddings.weight`,
     `embeddings.position_embeddings.weight`,
+    `embeddings.token_type_embeddings.weight`, `embeddings.LayerNorm`,
     `encoder.layer.{i}.attention.self.{query,key,value}`,
     `encoder.layer.{i}.attention.output.dense` + `LayerNorm`,
     `encoder.layer.{i}.intermediate.dense`, `encoder.layer.{i}.output.dense`
     + `LayerNorm`.
 
-    NOTE the architecture difference: BERT is post-LN, our blocks are
-    pre-LN; converted weights reproduce BERT activations only approximately.
-    The converter maps parameters positionally (documented, test-checked for
-    shape correctness; exact-parity porting requires the post-LN variant).
+    The output is EXACT for the post-LN encoder (`SentenceEncoderConfig(
+    post_ln=True)` / models/common.block_post_ln): ln1 <- attention.output.
+    LayerNorm, ln2 <- output.LayerNorm, emb_ln <- embeddings.LayerNorm, and
+    token-type embedding row 0 (single-segment sentence encoding) is folded
+    into pos_emb. Parity vs torch BertModel is enforced in
+    tests/test_convert.py at full MiniLM-L6 scale. Loading these params into
+    a pre-LN encoder (post_ln=False) computes a DIFFERENT function — do not.
     """
     sd = {k[len(prefix):]: v for k, v in state.items()
           if k.startswith(prefix)}
+    pos_emb = _t(sd["embeddings.position_embeddings.weight"]).copy()
+    if "embeddings.token_type_embeddings.weight" in sd:
+        # single-segment inputs use token type 0 everywhere: a constant
+        # additive row, folded into the (per-position) position embeddings
+        pos_emb = pos_emb + _t(sd["embeddings.token_type_embeddings.weight"])[0]
     params: Dict[str, Any] = {
         "tok_emb": _t(sd["embeddings.word_embeddings.weight"]).copy(),
-        "pos_emb": _t(sd["embeddings.position_embeddings.weight"]).copy(),
+        "pos_emb": pos_emb,
         "blocks": [],
     }
+    if "embeddings.LayerNorm.weight" in sd:
+        params["emb_ln"] = _ln(sd["embeddings.LayerNorm.weight"],
+                               sd["embeddings.LayerNorm.bias"])
     i = 0
     while f"encoder.layer.{i}.attention.self.query.weight" in sd:
         p = f"encoder.layer.{i}."
@@ -199,10 +211,25 @@ def convert_gpt_decoder(state: Mapping[str, Any], dim: int,
     return out
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def load_torch_checkpoint(path: str, allow_pickle: bool = False
+                          ) -> Dict[str, Any]:
+    """Load a torch checkpoint safely.
+
+    Defaults to `weights_only=True` (tensors only — no arbitrary unpickling).
+    Third-party checkpoints that need full pickle must opt in explicitly
+    with `allow_pickle=True`, since unpickling executes arbitrary code.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as exc:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True; pass "
+                "allow_pickle=True ONLY if you trust this file (unpickling "
+                "executes arbitrary code)") from exc
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     # strip DataParallel "module." prefixes (the reference does this too,

@@ -117,6 +117,47 @@ def main() -> None:
                 gts.append(jax.tree_util.tree_map(lambda x: x[b], gt))
         return evaluate_detections(preds, gts, dcfg.num_classes)["map"]
 
+    def eval_mask_iou(params, frames):
+        """Mean mask IoU of box-matched (IoU>=0.5, same-class) detections —
+        proves the mask head learned shapes, not noise (masks feed the voxel
+        fusion + pseudo-label raytracing)."""
+        tot, cnt = 0.0, 0
+        for i in range(0, len(frames) - args.batch + 1, args.batch):
+            images, gt = batch_of(frames, range(i, i + args.batch))
+            det = DET.forward(params, images, dcfg, with_masks=True)
+            fm = np.asarray(DET.full_masks(det, size)) > 0.5  # [B,N,S,S]
+            gt_np = jax.tree_util.tree_map(np.asarray, gt)
+            gh = gt_np.masks.shape[-1]
+            sel = (np.arange(size) * gh) // size  # nearest resample to S
+            gmasks = gt_np.masks[:, :, sel][:, :, :, sel] > 0.5
+            for b in range(images.shape[0]):
+                for d in np.flatnonzero(np.asarray(det.valid[b])):
+                    pb = np.asarray(det.boxes[b, d])
+                    gb = gt_np.boxes[b]
+                    ix1 = np.maximum(pb[0], gb[:, 0])
+                    iy1 = np.maximum(pb[1], gb[:, 1])
+                    ix2 = np.minimum(pb[2], gb[:, 2])
+                    iy2 = np.minimum(pb[3], gb[:, 3])
+                    inter = (np.maximum(ix2 - ix1, 0)
+                             * np.maximum(iy2 - iy1, 0))
+                    pa = max((pb[2] - pb[0]) * (pb[3] - pb[1]), 1e-6)
+                    ga = ((gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]))
+                    iou = inter / np.maximum(pa + ga - inter, 1e-6)
+                    iou = np.where(
+                        gt_np.valid[b]
+                        & (gt_np.classes[b] == int(det.classes[b, d])),
+                        iou, 0.0)
+                    g = int(np.argmax(iou))
+                    if iou[g] < 0.5:
+                        continue
+                    pm, gm = fm[b, d], gmasks[b, g]
+                    union = np.logical_or(pm, gm).sum()
+                    if union == 0:
+                        continue
+                    tot += np.logical_and(pm, gm).sum() / union
+                    cnt += 1
+        return (tot / cnt if cnt else 0.0), cnt
+
     map_before = eval_map(params, test_frames)
     print(f"[selfcheck-det] mAP@50 before: {map_before:.4f}", flush=True)
     t0 = time.time()
@@ -132,12 +173,15 @@ def main() -> None:
             print(f"  step {s}: loss={loss:.3f}", flush=True)
     map_after = eval_map(params, test_frames)
     map_train = eval_map(params, train_frames[: len(test_frames)])
+    mask_iou, mask_n = eval_mask_iou(params, test_frames)
     print(json.dumps({
         "frames": len(train_frames), "steps": args.steps,
         "first_loss": round(first, 3), "last_loss": round(last, 3),
         "map50_before": round(map_before, 4),
         "map50_after": round(map_after, 4),
         "map50_train": round(map_train, 4),
+        "mask_iou": round(float(mask_iou), 4),
+        "mask_matched": mask_n,
         "train_seconds": round(time.time() - t0, 1),
     }))
 

@@ -106,6 +106,67 @@ def test_bert_encoder_conversion_shapes():
     assert params["blocks"][1]["mlp"]["fc"]["w"].shape == (32, 64)
 
 
+def _bert_parity(hf_cfg, enc_cfg, batch=2, seqlen=12, tol=2e-4):
+    """Convert a torch BertModel -> post-LN encoder; check the full SBERT
+    pipeline (encoder -> masked mean-pool -> L2 norm) agrees exactly."""
+    from transformers import BertModel
+
+    from embodied_captioning_tpu.models.sbert import encode_tokens
+
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg).eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_bert_encoder(model.state_dict()))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, hf_cfg.vocab_size, (batch, seqlen)).astype(np.int64)
+    ids[0, -3:] = 0  # pads (BERT + our PAD_ID are both 0)
+    attn = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        hidden = model(torch.from_numpy(ids),
+                       attention_mask=torch.from_numpy(attn)
+                       ).last_hidden_state.numpy()
+    m = attn[..., None].astype(np.float32)
+    ref = (hidden * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    ref = ref / np.maximum(np.linalg.norm(ref, axis=-1, keepdims=True), 1e-8)
+
+    ours = np.asarray(encode_tokens(params, jnp.asarray(ids.astype(np.int32)),
+                                    enc_cfg))
+    np.testing.assert_allclose(ours, ref, rtol=tol, atol=tol)
+
+
+def test_bert_encoder_exact_parity_tiny():
+    from transformers import BertConfig
+
+    from embodied_captioning_tpu.config import SentenceEncoderConfig
+
+    hf = BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=16, hidden_act="gelu")
+    ours = SentenceEncoderConfig(vocab_size=100, width=32, layers=2, heads=2,
+                                 mlp_ratio=2.0, max_len=16, embed_dim=32,
+                                 post_ln=True, dtype="float32")
+    _bert_parity(hf, ours)
+
+
+def test_bert_encoder_exact_parity_minilm_scale():
+    """Full all-MiniLM-L6-v2 architecture (L6/H384/A12/I1536, vocab 30522):
+    the converter is structurally exact at real-checkpoint scale, so porting
+    the actual pretrained weights is a pure data operation
+    (ref: SBERT use, agents/goal_exploration/goal_exploration.py:57)."""
+    from transformers import BertConfig
+
+    from embodied_captioning_tpu.config import SentenceEncoderConfig
+
+    hf = BertConfig(vocab_size=30522, hidden_size=384, num_hidden_layers=6,
+                    num_attention_heads=12, intermediate_size=1536,
+                    max_position_embeddings=512, hidden_act="gelu")
+    ours = SentenceEncoderConfig(vocab_size=30522, width=384, layers=6,
+                                 heads=12, mlp_ratio=4.0, max_len=512,
+                                 embed_dim=384, post_ln=True, dtype="float32")
+    _bert_parity(hf, ours, batch=2, seqlen=16)
+
+
 def test_gpt_decoder_conversion_shapes():
     width = 32
     tv = _tiny_torch_vit(width=width, layers=2, image=32, patch=8)

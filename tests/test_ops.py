@@ -105,9 +105,9 @@ def test_roi_align_avg_pool():
 
 
 def test_paste_masks():
-    logits = jnp.full((1, 4, 4), 10.0)  # sigmoid ~ 1 inside
+    probs = jnp.ones((1, 4, 4))  # caller sigmoids logits first
     boxes = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
-    out = I.paste_masks(logits, boxes, 16, 16)
+    out = I.paste_masks(probs, boxes, 16, 16)
     assert out.shape == (1, 16, 16)
     assert float(out[0, 8, 8]) > 0.99
     assert float(out[0, 0, 0]) == 0.0
