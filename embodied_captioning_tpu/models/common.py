@@ -32,11 +32,20 @@ def dense_init(key, d_in: int, d_out: int, scale: Optional[float] = None
 def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Matmul in compute dtype with f32 accumulation; output stays in the
     compute dtype so the residual stream is bf16 (halves HBM traffic of the
-    elementwise chain between matmuls)."""
-    from .quantize import maybe_dequant
+    elementwise chain between matmuls).
 
-    y = jnp.dot(x.astype(compute_dtype), maybe_dequant(p["w"], compute_dtype),
-                preferred_element_type=jnp.float32)
+    Serving: when the weight is int8 (QuantizedArray) and W8A8 is enabled,
+    activations quantize per token and the dot runs int8 x int8 -> int32 on
+    the MXU — 2x the bf16 matmul rate on v5e."""
+    from .quantize import QuantizedArray, dense_w8a8, maybe_dequant, \
+        w8a8_enabled
+
+    w = p["w"]
+    if isinstance(w, QuantizedArray) and w8a8_enabled():
+        y = dense_w8a8(x, w)
+    else:
+        y = jnp.dot(x.astype(compute_dtype), maybe_dequant(w, compute_dtype),
+                    preferred_element_type=jnp.float32)
     return (y + p["b"]).astype(compute_dtype)
 
 
@@ -245,6 +254,29 @@ def block(p: Params, x: jnp.ndarray, heads: int,
         x = x + h
     x = x + mlp(p["mlp"], layernorm(p["ln2"], x), compute_dtype)
     return x, cache
+
+
+BERT_LN_EPS = 1e-12  # HF BertConfig.layer_norm_eps
+
+
+def block_post_ln(p: Params, x: jnp.ndarray, heads: int,
+                  mask: Optional[jnp.ndarray] = None,
+                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Post-LN transformer block (BERT/MiniLM layer ordering):
+    ``x = LN1(x + attn(x)); x = LN2(x + mlp(x))`` with *exact* (erf) GELU
+    and BERT's LayerNorm eps.
+
+    Same param pytree layout as `block_init` (ln1/attn/ln2/mlp), so torch
+    BERT weights convert positionally AND reproduce the reference function
+    exactly (pre-LN blocks cannot: tools/convert_weights.convert_bert_encoder).
+    """
+    h, _ = mha(p["attn"], x, heads, mask=mask, compute_dtype=compute_dtype)
+    x = layernorm(p["ln1"], x + h, eps=BERT_LN_EPS)
+    h = dense(p["mlp"]["proj"],
+              jax.nn.gelu(dense(p["mlp"]["fc"], x, compute_dtype),
+                          approximate=False),
+              compute_dtype)
+    return layernorm(p["ln2"], x + h, eps=BERT_LN_EPS)
 
 
 def causal_mask(t: int) -> jnp.ndarray:

@@ -58,6 +58,33 @@ def maybe_dequant(w: Any, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.astype(dtype)
 
 
+import os as _os
+
+# W8A8: quantize activations per token on the fly and run the matmul as
+# int8 x int8 -> int32 on the MXU — v5e executes int8 dots at 2x the bf16
+# rate (394 TOPS vs 98.5 TFLOPS), and weight HBM traffic stays halved.
+# Enabled by default whenever the weights are already QuantizedArray
+# (serving mode); ECAP_W8A8=0 falls back to weight-only dequantize->bf16.
+_W8A8 = _os.environ.get("ECAP_W8A8", "1") == "1"
+
+
+def w8a8_enabled() -> bool:
+    return _W8A8
+
+
+def dense_w8a8(x: jnp.ndarray, w: QuantizedArray) -> jnp.ndarray:
+    """[..., in] x QuantizedArray[in, out] -> f32 [..., out] via an int8
+    MXU matmul with dynamic symmetric per-token activation scales."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w.q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * w.scale
+
+
 MIN_QUANT_SIZE = 1 << 14  # don't quantize small tensors (biases, LN, ...)
 
 

@@ -53,3 +53,30 @@ def test_quantized_generation_agrees(rng):
     # contract is that generation runs and mostly agrees
     agree = (np.asarray(t_q) == np.asarray(t_full)).mean()
     assert agree > 0.5
+
+
+def test_w8a8_matmul_accuracy(rng):
+    """int8 x int8 MXU path stays close to the f32 matmul."""
+    from embodied_captioning_tpu.models.quantize import (
+        dense_w8a8, quantize_array,
+    )
+
+    x = jnp.asarray(rng.standard_normal((4, 17, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32) * 0.05)
+    ref = np.asarray(x @ w)
+    got = np.asarray(dense_w8a8(x, quantize_array(w)))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, err
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_w8a8_toggle(monkeypatch):
+    """ECAP_W8A8=0 falls back to the dequantize->bf16 path (same results
+    contract as weight-only quantization)."""
+    import embodied_captioning_tpu.models.quantize as Q
+
+    monkeypatch.setattr(Q, "_W8A8", False)
+    assert not Q.w8a8_enabled()
+    monkeypatch.setattr(Q, "_W8A8", True)
+    assert Q.w8a8_enabled()
