@@ -70,10 +70,15 @@ class VitConfig:
     embed_dim: int = 768  # contrastive projection dim
 
 
+CLIP_VOCAB_SIZE = 49408  # reference CoCa tokenizer size (open_clip CLIP BPE)
+
+
 @dataclass(frozen=True)
 class TextDecoderConfig:
     context_length: int = 77
-    vocab_size: int = 1024  # self-contained BPE vocab (see models/tokenizer.py)
+    # reference-scale BPE vocab (ref: open_clip bpe_simple_vocab_16e6, 49408
+    # ids); the committed merge table lives in models/data/bpe_merges.json
+    vocab_size: int = CLIP_VOCAB_SIZE
     width: int = 768
     heads: int = 12
     layers: int = 12
@@ -117,8 +122,8 @@ class CaptionerConfig:
                 pool_queries=128, pool_heads=8, embed_dim=512,
             ),
             text=TextDecoderConfig(
-                context_length=77, vocab_size=1024, width=512, heads=8,
-                layers=6, cross_layers=6,
+                context_length=77, vocab_size=CLIP_VOCAB_SIZE, width=512,
+                heads=8, layers=6, cross_layers=6,
             ),
         )
 
@@ -139,6 +144,10 @@ class SentenceEncoderConfig:
     mlp_ratio: float = 4.0
     max_len: int = 64
     embed_dim: int = 384
+    # post-LN (BERT layer ordering) — required for EXACT porting of real
+    # MiniLM/SBERT checkpoints via tools/convert_weights.convert_bert_encoder
+    post_ln: bool = False
+    dtype: str = "bfloat16"  # compute dtype; "float32" for parity testing
 
     @staticmethod
     def tiny() -> "SentenceEncoderConfig":
@@ -271,7 +280,10 @@ class ExperimentConfig:
                 preset=name,
                 captioner=(CaptionerConfig.base() if name == "base"
                            else CaptionerConfig.large()),
-                sentence_encoder=SentenceEncoderConfig(),
+                # shares the caption token ids (perception feeds generated
+                # ids straight in), so the vocab must cover the decoder's
+                sentence_encoder=SentenceEncoderConfig(
+                    vocab_size=CLIP_VOCAB_SIZE),
                 detector=DetectorConfig(),
                 map=MapConfig(),
             )
