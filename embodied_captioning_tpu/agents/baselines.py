@@ -149,14 +149,21 @@ class BaseTrainer:
 
     # -- loops -------------------------------------------------------------
     def generate(self, num_steps: Optional[int] = None) -> List[str]:
-        """Exploration + obs recording (ref: baselines.py:130-157)."""
+        """Exploration + obs recording (ref: baselines.py:130-157).
+
+        Double-buffered: after fusing frame t and choosing actions, frame
+        t+1's simulation/render is dispatched on the VectorEnv worker thread
+        (`step_async`) while this thread blocks on frame t's perception
+        readbacks and writes the npz observations — the agent loop never
+        idles waiting on inference (north-star pipeline)."""
         steps = num_steps or self.cfg.sim.episode_steps
         obs = self.envs.observe()
         for _ in range(steps):
             result = self.perceive_and_fuse(obs)
-            self.save_step_obs(obs, result)
             acts = self.actions(obs)
-            obs, _, dones, infos = self.envs.step(acts)
+            self.envs.step_async(acts)         # sim t+1 in flight
+            self.save_step_obs(obs, result)    # host IO overlaps the render
+            obs, _, dones, infos = self.envs.step_wait()
             self.on_step(obs, infos)
             self._step += 1
         return sorted(self.saved_paths)
@@ -287,6 +294,11 @@ class FrontierBaseline(_GoalDirectedTrainer):
     cells adjacent to unexplored space on the env's topdown map; goal = the
     frontier with the largest unexplored neighborhood (info gain)."""
 
+    def _gain_field(self, maps: np.ndarray) -> np.ndarray:
+        """Per-cell information value integrated around each frontier;
+        v1 counts unexplored cells."""
+        return (~(maps[..., 1] > 0.5)).astype(np.float64)
+
     def new_goal(self, i: int) -> Tuple[float, float]:
         env = self.envs.envs[i]
         maps = env.get_and_update_disagreement_map()  # [Z, X, 4]
@@ -301,12 +313,19 @@ class FrontierBaseline(_GoalDirectedTrainer):
         ys, xs = np.nonzero(frontier)
         if len(ys) == 0:
             return RandomGoalsBaseline.new_goal(self, i)  # fallback
-        # info gain: unexplored count in a 5-cell window
-        gains = []
-        for y, x in zip(ys, xs):
-            y0, y1 = max(0, y - 5), min(unexp.shape[0], y + 6)
-            x0, x1 = max(0, x - 5), min(unexp.shape[1], x + 6)
-            gains.append(unexp[y0:y1, x0:x1].sum())
+        # info gain in an 11x11 window — whole map at once with a box filter
+        # over the summed-area table (O(map) instead of
+        # O(frontiers * window); stays usable at the reference's 0.025 m
+        # rasters)
+        field = self._gain_field(np.asarray(maps))
+        ii = np.zeros((field.shape[0] + 1, field.shape[1] + 1), np.float64)
+        ii[1:, 1:] = np.cumsum(np.cumsum(field, 0), 1)
+        h, w = field.shape
+        y0 = np.clip(ys - 5, 0, h)
+        y1 = np.clip(ys + 6, 0, h)
+        x0 = np.clip(xs - 5, 0, w)
+        x1 = np.clip(xs + 6, 0, w)
+        gains = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
         j = int(np.argmax(gains))
         vox = self.cfg.map.voxel_size
         lower = np.asarray(env.map_state.lower)

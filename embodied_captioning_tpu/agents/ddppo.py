@@ -81,6 +81,8 @@ class DistributedPPOTrainer(GoalExplorationTrainer):
     def _shard_rollout(self, rollout: Rollout) -> Rollout:
         """Shard the env axis (axis 1) over "data"."""
         def place(x):
+            if x is None:  # optional fields (e.g. rnn_states)
+                return None
             x = jnp.asarray(x)
             if x.ndim >= 2 and x.shape[1] % self.mesh.shape["data"] == 0:
                 spec = P(None, "data", *([None] * (x.ndim - 2)))

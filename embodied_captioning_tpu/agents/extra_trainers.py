@@ -35,9 +35,18 @@ from .registry import register_trainer
 
 @register_trainer("frontierbaseline-v2")
 class FrontierPerceptionBaseline(FrontierBaseline):
-    """Frontier exploration is already perception-in-the-loop in this
-    framework (BaseTrainer.perceive_and_fuse runs every step), which is
-    exactly what v2 adds over v1 in the reference."""
+    """Frontier exploration informed by the perception stream (ref:
+    frontier_exploration.py:27-120 — v2 runs detector+captioner+SBERT per
+    step and fuses embeddings into the map). The behavioral delta over v1:
+    frontier info gain integrates the caption-disagreement channel in
+    addition to unexplored area, steering the agent toward frontiers near
+    objects whose descriptions still disagree."""
+
+    DISAGREEMENT_WEIGHT = 5.0
+
+    def _gain_field(self, maps: np.ndarray) -> np.ndarray:
+        unexp = (~(maps[..., 1] > 0.5)).astype(np.float64)
+        return unexp + self.DISAGREEMENT_WEIGHT * maps[..., 3]
 
 
 @register_trainer("frontierbaseline-v3")

@@ -65,6 +65,8 @@ def orientation_bin(yaw: float, bins: int = 72) -> int:
 class GoalExplorationTrainer(_GoalDirectedTrainer):
     REWARD_MODE = "delta"  # per-window disagreement delta
 
+    RNN_DIM = 256  # GRU hidden width (agents/policy.init_gru)
+
     def __init__(self, cfg: ExperimentConfig, **kw):
         super().__init__(cfg, **kw)
         self.pcfg = cfg.policy
@@ -76,12 +78,32 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         self._pending_goal: List[Optional[Tuple[float, float]]] = [
             None] * self.envs.num_envs
         self.metrics_log: List[Dict[str, float]] = []
+        # recurrent trunk state (ref: utils/model.py NNBase GRU)
+        self._rnn = (np.zeros((self.envs.num_envs, self.RNN_DIM), np.float32)
+                     if cfg.policy.recurrent else None)
         ckpt = cfg.runtime.checkpoint_dir
         if ckpt and os.path.exists(os.path.join(ckpt, "policy.pkl")):
             self.load_checkpoint(os.path.join(ckpt, "policy.pkl"))
 
     # -- policy plumbing ---------------------------------------------------
-    def _policy_obs(self):
+    def _act(self, key, maps, orients, deterministic: bool = False):
+        """One policy decision; advances the GRU state when recurrent.
+        Returns (action, raw, log_prob, value, pre_rnn_state-or-None) — the
+        PRE-step state is what PPO re-evaluates against."""
+        m, o = jnp.asarray(maps), jnp.asarray(orients)
+        if self._rnn is None:
+            a, raw, lp, v = policy_act(self.ppo_state.params, key, m, o,
+                                       deterministic=deterministic)
+            return a, raw, lp, v, None
+        pre = self._rnn.copy()
+        a, raw, lp, v, h = policy_act(self.ppo_state.params, key, m, o,
+                                      deterministic=deterministic,
+                                      rnn_state=jnp.asarray(pre))
+        self._rnn = np.asarray(h)
+        return a, raw, lp, v, pre
+
+    def _frame_obs(self):
+        """Current-frame policy maps [E, S, S, 2] + orientation bins [E]."""
         maps, orients = [], []
         for env in self.envs.envs:
             td = env.get_and_update_disagreement_map()
@@ -91,6 +113,9 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
                 self.cfg.map.voxel_size, self.pcfg.map_size))
             orients.append(orientation_bin(a.yaw, self.pcfg.orientation_bins))
         return np.stack(maps), np.asarray(orients, np.int32)
+
+    def _policy_obs(self):
+        return self._frame_obs()
 
     def _goals_from_actions(self, actions: np.ndarray) -> None:
         """(x, y) in [0,1]^2 -> world map goal -> A* plan
@@ -128,16 +153,15 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         obs = self.envs.observe()
         for t in range(steps):
             result = self.perceive_and_fuse(obs)
-            self.save_step_obs(obs, result)
             if t % replan == 0:
                 maps, orients = self._policy_obs()
                 self._key, sub = jax.random.split(self._key)
-                a, _, _, _ = policy_act(self.ppo_state.params, sub,
-                                        jnp.asarray(maps),
-                                        jnp.asarray(orients))
+                a, _, _, _, _ = self._act(sub, maps, orients)
                 self._goals_from_actions(np.asarray(a))
             acts = self.actions(obs)
-            obs, _, dones, infos = self.envs.step(acts)
+            self.envs.step_async(acts)         # sim t+1 overlaps obs writes
+            self.save_step_obs(obs, result)
+            obs, _, dones, infos = self.envs.step_wait()
             self._step += 1
         return sorted(self.saved_paths)
 
@@ -149,8 +173,10 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         cfg = self.cfg
         window = cfg.ppo.num_global_steps
         horizon = decisions_per_update or 8
-        storage = RolloutStorage(horizon, self.envs.num_envs,
-                                 self.pcfg.map_size, self.pcfg.input_channels)
+        storage = RolloutStorage(
+            horizon, self.envs.num_envs, self.pcfg.map_size,
+            self.pcfg.input_channels,
+            rnn_dim=self.RNN_DIM if self._rnn is not None else 0)
         obs = self.envs.observe()
         maps, orients = self._policy_obs()
         storage.insert_obs(maps, orients)
@@ -159,28 +185,35 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         for update in range(num_updates):
             for dec in range(horizon):
                 self._key, sub = jax.random.split(self._key)
-                a, raw, lp, v = policy_act(
-                    self.ppo_state.params, sub,
-                    jnp.asarray(storage.maps[storage.t]),
-                    jnp.asarray(storage.orientation[storage.t]))
+                a, raw, lp, v, pre_rnn = self._act(
+                    sub, storage.maps[storage.t],
+                    storage.orientation[storage.t])
                 self._goals_from_actions(np.asarray(a))
                 for _ in range(window):
                     result = self.perceive_and_fuse(obs)
-                    self.save_step_obs(obs, result)
                     acts = self.actions(obs)
-                    obs, _, dones, infos = self.envs.step(acts)
+                    self.envs.step_async(acts)
+                    self.save_step_obs(obs, result)
+                    obs, _, dones, infos = self.envs.step_wait()
                     self._step += 1
                 rewards = self._window_rewards()
                 maps, orients = self._policy_obs()
                 storage.insert_step(np.asarray(raw), np.asarray(lp),
                                     np.asarray(v), rewards,
                                     np.ones(self.envs.num_envs, np.float32),
-                                    maps, orients)
-            # bootstrap + update
-            _, _, _, last_v = policy_act(
-                self.ppo_state.params, self._key,
-                jnp.asarray(storage.maps[-1]),
-                jnp.asarray(storage.orientation[-1]), deterministic=True)
+                                    maps, orients, rnn_state=pre_rnn)
+            # bootstrap + update (value-only query: don't advance the GRU)
+            if self._rnn is None:
+                _, _, _, last_v = policy_act(
+                    self.ppo_state.params, self._key,
+                    jnp.asarray(storage.maps[-1]),
+                    jnp.asarray(storage.orientation[-1]), deterministic=True)
+            else:
+                _, _, _, last_v, _ = policy_act(
+                    self.ppo_state.params, self._key,
+                    jnp.asarray(storage.maps[-1]),
+                    jnp.asarray(storage.orientation[-1]), deterministic=True,
+                    rnn_state=jnp.asarray(self._rnn))
             rollout = storage.as_rollout(np.asarray(last_v))
             self._key, sub = jax.random.split(self._key)
             self.ppo_state, metrics = ppo_update(self.ppo_state, rollout, sub,
@@ -226,3 +259,32 @@ class GoalExplorationTrajectory(GoalExplorationTrainer):
     this equals the window delta, granted undiscounted."""
 
     REWARD_MODE = "delta"
+
+
+@register_trainer("goalexplorationbaseline-v3")
+class GoalExplorationImageHistory(GoalExplorationTrainer):
+    """Image-history variant (ref: goal_exploration/
+    goal_exploration_trajectory_images.py:25-55): the policy input stacks the
+    last HISTORY=4 (disagreement, topdown) map frames channel-wise, giving
+    the CNN short-term temporal context (2*HISTORY input channels)."""
+
+    HISTORY = 4
+    REWARD_MODE = "delta"
+
+    def __init__(self, cfg: ExperimentConfig, **kw):
+        import dataclasses
+
+        base_ch = cfg.policy.input_channels
+        cfg = dataclasses.replace(
+            cfg, policy=dataclasses.replace(
+                cfg.policy, input_channels=base_ch * self.HISTORY))
+        self._frames: Optional[List[np.ndarray]] = None
+        super().__init__(cfg, **kw)
+
+    def _policy_obs(self):
+        maps, orients = self._frame_obs()
+        if self._frames is None:
+            self._frames = [maps] * self.HISTORY
+        else:
+            self._frames = self._frames[1:] + [maps]
+        return np.concatenate(self._frames, axis=-1), orients

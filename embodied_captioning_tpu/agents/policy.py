@@ -26,6 +26,7 @@ class PolicyOutput(NamedTuple):
     value: jnp.ndarray        # [B]
     mean: jnp.ndarray         # [B, A] (gaussian mean or categorical logits)
     log_std: jnp.ndarray      # [A] (gaussian only)
+    rnn_state: Optional[jnp.ndarray] = None  # [B, 256] updated GRU state
 
 
 def init_policy(key, cfg: PolicyConfig, num_actions: int = 2) -> Params:
@@ -83,11 +84,12 @@ def policy_forward(params: Params, maps: jnp.ndarray,
     x = jnp.concatenate([x, o], axis=-1)
     x = jax.nn.relu(dense(params["fc1"], x))
     x = jax.nn.relu(dense(params["fc2"], x))
+    h = None
     if rnn_state is not None and "gru" in params:
-        x = gru_step(params["gru"], rnn_state, x)
+        x = h = gru_step(params["gru"], rnn_state, x)
     value = dense(params["value"], x)[:, 0]
     mean = dense(params["act"], x)
-    return PolicyOutput(value, mean, params["log_std"])
+    return PolicyOutput(value, mean, params["log_std"], h)
 
 
 # ---------------------------------------------------------------------------
@@ -129,29 +131,36 @@ def categorical_entropy(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def act(params: Params, key, maps: jnp.ndarray, orientation: jnp.ndarray,
-        deterministic: bool = False, categorical: bool = False):
-    """Sample an action; returns (action, raw_action, log_prob, value).
+        deterministic: bool = False, categorical: bool = False,
+        rnn_state: Optional[jnp.ndarray] = None):
+    """Sample an action; returns (action, raw_action, log_prob, value) — or,
+    when `rnn_state` is given (recurrent policy, ref: utils/model.py NNBase),
+    (action, raw_action, log_prob, value, new_rnn_state).
     Box actions are squashed to [0,1]^2 with sigmoid (map-goal convention,
     ref: goal_exploration.py samples a (x, y) in [0,1]^2); `raw_action` is
     the pre-squash sample stored for PPO evaluation."""
-    out = policy_forward(params, maps, orientation)
+    out = policy_forward(params, maps, orientation, rnn_state)
     if categorical:
         a = (jnp.argmax(out.mean, -1) if deterministic
              else categorical_sample(key, out.mean))
         lp = categorical_log_prob(a, out.mean)
-        return a, a, lp, out.value
-    raw = out.mean if deterministic else gaussian_sample(key, out.mean,
-                                                         out.log_std)
-    lp = gaussian_log_prob(raw, out.mean, out.log_std)
-    return jax.nn.sigmoid(raw), raw, lp, out.value
+        res = (a, a, lp, out.value)
+    else:
+        raw = out.mean if deterministic else gaussian_sample(key, out.mean,
+                                                             out.log_std)
+        lp = gaussian_log_prob(raw, out.mean, out.log_std)
+        res = (jax.nn.sigmoid(raw), raw, lp, out.value)
+    return res + (out.rnn_state,) if rnn_state is not None else res
 
 
 def evaluate_actions(params: Params, maps: jnp.ndarray,
                      orientation: jnp.ndarray, raw_actions: jnp.ndarray,
-                     categorical: bool = False):
+                     categorical: bool = False,
+                     rnn_state: Optional[jnp.ndarray] = None):
     """(log_probs, entropy, values) for PPO updates. `raw_actions` are the
-    pre-squash samples stored at rollout time."""
-    out = policy_forward(params, maps, orientation)
+    pre-squash samples stored at rollout time; `rnn_state` (if recurrent)
+    the GRU states stored alongside them."""
+    out = policy_forward(params, maps, orientation, rnn_state)
     if categorical:
         lp = categorical_log_prob(raw_actions, out.mean)
         ent = categorical_entropy(out.mean)

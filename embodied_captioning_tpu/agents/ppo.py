@@ -61,13 +61,17 @@ def ppo_update(state: PPOState, rollout: Rollout, key,
     old_v = jnp.asarray(rollout.values[:t_len]).reshape(n)
     ret = returns.reshape(n)
     adv_f = adv.reshape(n)
+    rnn = (None if rollout.rnn_states is None
+           else jnp.asarray(rollout.rnn_states).reshape(
+               n, rollout.rnn_states.shape[-1]))
 
     opt = make_optimizer(cfg)
     mb = n // cfg.num_mini_batch
 
     def loss_fn(params, idx):
-        lp, ent, v = evaluate_actions(params, maps[idx], orient[idx],
-                                      actions[idx], categorical)
+        lp, ent, v = evaluate_actions(
+            params, maps[idx], orient[idx], actions[idx], categorical,
+            rnn_state=None if rnn is None else rnn[idx])
         ratio = jnp.exp(lp - old_lp[idx])
         s1 = ratio * adv_f[idx]
         s2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * adv_f[idx]

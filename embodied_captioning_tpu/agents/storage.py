@@ -25,11 +25,17 @@ class Rollout(NamedTuple):
     values: np.ndarray      # [T+1, E]
     rewards: np.ndarray     # [T, E]
     masks: np.ndarray       # [T+1, E] 1 = not done
+    # GRU states recorded at decision time (recurrent policies only); PPO
+    # re-evaluates log-probs against these stored states (ref: the
+    # reference's recurrent_generator carries rec_states,
+    # utils/storage.py:120-197)
+    rnn_states: "np.ndarray | None" = None  # [T, E, D]
 
 
 class RolloutStorage:
     def __init__(self, num_steps: int, num_envs: int, map_size: int,
-                 channels: int, action_dim: int = 2):
+                 channels: int, action_dim: int = 2,
+                 rnn_dim: int = 0):
         self.t = 0
         self.num_steps = num_steps
         self.maps = np.zeros((num_steps + 1, num_envs, map_size, map_size,
@@ -41,13 +47,15 @@ class RolloutStorage:
         self.values = np.zeros((num_steps + 1, num_envs), np.float32)
         self.rewards = np.zeros((num_steps, num_envs), np.float32)
         self.masks = np.ones((num_steps + 1, num_envs), np.float32)
+        self.rnn_states = (np.zeros((num_steps, num_envs, rnn_dim),
+                                    np.float32) if rnn_dim else None)
 
     def insert_obs(self, maps, orientation) -> None:
         self.maps[self.t] = np.asarray(maps)
         self.orientation[self.t] = np.asarray(orientation)
 
     def insert_step(self, raw_actions, log_probs, values, rewards, masks,
-                    next_maps, next_orientation) -> None:
+                    next_maps, next_orientation, rnn_state=None) -> None:
         t = self.t
         self.raw_actions[t] = np.asarray(raw_actions)
         self.log_probs[t] = np.asarray(log_probs)
@@ -56,6 +64,8 @@ class RolloutStorage:
         self.masks[t + 1] = np.asarray(masks)
         self.maps[t + 1] = np.asarray(next_maps)
         self.orientation[t + 1] = np.asarray(next_orientation)
+        if rnn_state is not None and self.rnn_states is not None:
+            self.rnn_states[t] = np.asarray(rnn_state)
         self.t += 1
 
     def after_update(self) -> None:
@@ -68,7 +78,8 @@ class RolloutStorage:
         values = self.values.copy()
         values[self.num_steps] = np.asarray(last_value)
         return Rollout(self.maps, self.orientation, self.raw_actions,
-                       self.log_probs, values, self.rewards, self.masks)
+                       self.log_probs, values, self.rewards, self.masks,
+                       self.rnn_states)
 
 
 def compute_gae(rewards: jnp.ndarray, values: jnp.ndarray,

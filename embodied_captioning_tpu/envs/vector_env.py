@@ -1,16 +1,24 @@
-"""Vectorized environment manager.
+"""Vectorized environment manager with a genuinely async step path.
 
 Replaces habitat's fork+pipe `VectorEnv` RPC (ref: experimenting_env/utils/
 habitat_utils.py:54-150 construct_envs; agents/baselines.py:74-91 async
 step fan-out). The reference needs 20 worker processes because habitat-sim
 renders on CPU/GPU per process; here rendering is a batched jit on the
 accelerator, so a single-process manager steps every env and renders the
-whole batch in one device launch. The `call_at` / `async_step_at` surface is
-kept so agent code ports 1:1.
+whole batch in one device launch.
+
+Double-buffered pipeline (the BASELINE north star "the agent loop never
+blocks on inference"): `step_async` hands the whole batch step to a worker
+thread, which advances agent state on host and *dispatches* the next frame's
+render to the device immediately — while the caller's thread blocks on the
+current frame's perception readbacks and writes npz observations. The
+`async_step_at` / `wait_step_at` per-index surface rides the same machinery,
+so agent code written against habitat's API is truly asynchronous here too.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,7 +39,13 @@ class VectorEnv:
         name = getattr(cfg.runtime, "env_name", "Habitat3Env")
         self.envs: List[EmbodiedEnv] = [make_env(name, cfg, env_id=i)
                                         for i in range(n)]
-        self._pending: Dict[int, int] = {}
+        # one worker: env stepping is serialized with itself (envs are
+        # stateful), but overlaps with the caller's perception readbacks +
+        # obs-store writes
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="vecenv")
+        self._pending: Dict[int, Future] = {}
+        self._batch_future: Optional[Future] = None
 
     @property
     def num_envs(self) -> int:
@@ -48,22 +62,42 @@ class VectorEnv:
                 for i, kw in enumerate(kwargs_list)]
 
     def async_step_at(self, index: int, action: int) -> None:
-        self._pending[index] = int(action)
+        """Dispatch one env's step to the worker thread
+        (ref: baselines.py:74-91 async_step_at/wait_step_at fan-out)."""
+        self._pending[index] = self._pool.submit(
+            self.envs[index].step, int(action))
 
     def wait_step_at(self, index: int):
-        action = self._pending.pop(index, 0)
-        return self.envs[index].step(action)
+        fut = self._pending.pop(index, None)
+        if fut is None:  # not dispatched: step synchronously with action 0
+            return self.envs[index].step(0)
+        return fut.result()
 
     # -- batched stepping --------------------------------------------------
-    def step(self, actions: Sequence[int]):
-        """Step all envs; returns (obs_batch dict of stacked arrays,
-        rewards, dones, infos)."""
+    def _step_all(self, actions: Sequence[int]):
         outs = [env.step(int(a)) for env, a in zip(self.envs, actions)]
         obs = self._stack([o[0] for o in outs])
         rewards = np.asarray([o[1] for o in outs], np.float32)
         dones = np.asarray([o[2] for o in outs], bool)
         infos = [o[3] for o in outs]
         return obs, rewards, dones, infos
+
+    def step(self, actions: Sequence[int]):
+        """Synchronous batch step; returns (obs dict, rewards, dones,
+        infos)."""
+        return self._step_all(actions)
+
+    def step_async(self, actions: Sequence[int]) -> None:
+        """Dispatch the whole batch step on the worker thread; overlap the
+        next frame's simulation/render with the caller's current-frame
+        work. Pair with `step_wait`."""
+        assert self._batch_future is None, "step_async already pending"
+        self._batch_future = self._pool.submit(self._step_all, list(actions))
+
+    def step_wait(self):
+        assert self._batch_future is not None, "no step_async pending"
+        fut, self._batch_future = self._batch_future, None
+        return fut.result()
 
     def reset(self):
         return self._stack([env.reset() for env in self.envs])
@@ -77,4 +111,4 @@ class VectorEnv:
                 for k in obs_list[0]}
 
     def close(self) -> None:
-        pass
+        self._pool.shutdown(wait=False)

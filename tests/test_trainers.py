@@ -49,6 +49,41 @@ def test_goalexploration_generate_without_perception():
     assert tr._step == 4
 
 
+def test_goalexploration_v3_image_history():
+    """v3 stacks the last 4 map frames channel-wise
+    (ref: goal_exploration_trajectory_images.py:25-55)."""
+    tr = get_trainer("goalexplorationbaseline-v3")(CFG,
+                                                   with_perception=False)
+    assert tr.pcfg.input_channels == 8  # 4 frames x 2 channels
+    maps, orients = tr._policy_obs()
+    assert maps.shape[-1] == 8
+    first = maps[..., :2].copy()
+    maps2, _ = tr._policy_obs()
+    # history shifted: frame 0 of the new stack == frame 1 of the old
+    np.testing.assert_allclose(maps2[..., 4:6], maps[..., 6:8])
+    tr.generate(4)
+    assert tr._step == 4
+
+
+def test_goalexploration_recurrent_gru_train():
+    """Recurrent policy path: GRU state threads through decisions and PPO
+    re-evaluates against the stored pre-step states
+    (ref: utils/model.py NNBase GRU + recurrent storage)."""
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=2", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "map.voxel_size=0.1",
+        "ppo.num_global_steps=2", "ppo.ppo_epoch=1", "ppo.num_mini_batch=2",
+        "policy.recurrent=true", "policy.map_size=32",
+    ])
+    tr = get_trainer("goalexplorationbaseline-v0")(cfg,
+                                                   with_perception=False)
+    assert tr._rnn is not None and tr._rnn.shape == (2, tr.RNN_DIM)
+    before = tr._rnn.copy()
+    metrics = tr.train(num_updates=1, decisions_per_update=2)
+    assert len(metrics) == 1 and np.isfinite(metrics[0]["loss"])
+    assert not np.allclose(tr._rnn, before)  # GRU state advanced
+
+
 def test_env_registry():
     from embodied_captioning_tpu.envs.registry import ENV_REGISTRY, make_env
 
