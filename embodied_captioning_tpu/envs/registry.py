@@ -39,9 +39,54 @@ def make_env(name: str, cfg: ExperimentConfig, env_id: int = 0,
     return ENV_REGISTRY[name](cfg, env_id=env_id, **kw)
 
 
-# main env (disagreement-sum reward) under both its reference names
+# main env (disagreement-sum reward)
 register_env("Habitat3Env")(EmbodiedEnv)
-register_env("GymHabitatEnv-v2")(EmbodiedEnv)
+
+
+@register_env("GymHabitatEnv-v2")
+class GymHabitatEnvV2(EmbodiedEnv):
+    """Older wrapper variant with the DisagreementUtil surface
+    (ref: env_gym_habitat.py:22-181): objectnav `get_distance` — distance to
+    the nearest topdown-semantic cell of the goal class, 10.0 when the class
+    has never been mapped — plus a greedy goal follower
+    (`set_goals` / `get_action_to_goal`)."""
+
+    NO_GOAL_DISTANCE = 10.0  # ref: env_gym_habitat.py:91
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        from ..agents.baselines import SubGoalFollower
+
+        self._follower = SubGoalFollower(self.cfg.sim.turn_angle_deg)
+        self._v2_goal = None
+
+    def get_distance(self, object_class: int) -> float:
+        """Distance from the agent to the nearest mapped cell of
+        `object_class` on the topdown semantic channel (class + 1 coding,
+        ref: env_gym_habitat.py:71-108)."""
+        maps = np.asarray(self.get_and_update_disagreement_map())
+        cells = np.argwhere(maps[..., 2] == object_class + 1)  # [K, (z, x)]
+        if cells.size == 0:
+            return self.NO_GOAL_DISTANCE
+        lower = np.asarray(self.map_state.lower)
+        vox = self.cfg.map.voxel_size
+        world = np.stack([lower[0] + (cells[:, 1] + 0.5) * vox,
+                          lower[2] + (cells[:, 0] + 0.5) * vox], axis=-1)
+        a = self.sim.agent
+        return float(np.min(np.hypot(world[:, 0] - a.x, world[:, 1] - a.z)))
+
+    def set_goals(self, goals) -> None:
+        self._v2_goal = goals
+
+    def get_action_to_goal(self):
+        """(action, goal_reached) greedy step toward the current goal;
+        turns in place while no goal is set (ref: env_gym_habitat.py:152-178
+        greedy follower, act=2 with no goal, act=0 => reached)."""
+        if self._v2_goal is None:
+            return 2, False
+        a = self.sim.agent
+        act = self._follower.act((a.x, a.z), a.yaw, tuple(self._v2_goal))
+        return act, act == 0
 
 
 @register_env("SemanticDisagreement-v0")

@@ -66,6 +66,84 @@ def match_ids_iou(pred: Detections, gt: Detections, allocator: IdAllocator,
     return out_ids, out_eps
 
 
+# ---------------------------------------------------------------------------
+# Clustering label helpers (ref: experimenting_env/utils/matching.py:46-82)
+# ---------------------------------------------------------------------------
+
+
+def _dbscan(dist: np.ndarray, eps: float, min_samples: int = 2) -> np.ndarray:
+    """DBSCAN over a precomputed distance matrix (sklearn semantics on the
+    shapes the reference uses: core point = >= min_samples neighbors incl.
+    self; noise label -1). Self-contained — sklearn is not a baked-in dep."""
+    n = dist.shape[0]
+    labels = np.full(n, -1, np.int64)
+    neighbors = [np.nonzero(dist[i] <= eps)[0] for i in range(n)]
+    core = np.array([len(nb) >= min_samples for nb in neighbors])
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        labels[i] = cluster
+        stack = list(neighbors[i])
+        while stack:
+            j = stack.pop()
+            if labels[j] == -1:
+                labels[j] = cluster
+                if core[j]:
+                    stack.extend(neighbors[j])
+        cluster += 1
+    return labels
+
+
+def _pairwise_distances(x: np.ndarray, squared: bool = False) -> np.ndarray:
+    """||xi - xj|| matrix (ref: matching.py _pairwise_distances)."""
+    x = np.asarray(x, np.float64)
+    sq = np.sum(x * x, axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
+    return d2 if squared else np.sqrt(d2)
+
+
+def get_wasserstein_labels(centroids: np.ndarray, covs: np.ndarray,
+                           thr: float) -> np.ndarray:
+    """Cluster object observations by a 2-Wasserstein-style gaussian distance
+    (squared centroid distance + squared covariance-vector distance), DBSCAN
+    at eps=thr (ref: matching.py:46-57). NOTE: like the reference, the
+    distance matrix is fed to DBSCAN as row *features* (sklearn's default
+    metric), not as precomputed distances — behavior reproduced."""
+    n = len(centroids)
+    dist = (_pairwise_distances(centroids, squared=True)
+            + _pairwise_distances(np.asarray(covs).reshape(n, -1),
+                                  squared=True))
+    return _dbscan(_pairwise_distances(dist), thr)
+
+
+def get_centroids_labels_dbscan(centroids: np.ndarray,
+                                infos: Optional[np.ndarray] = None,
+                                thr: float = 4.0) -> np.ndarray:
+    """DBSCAN on (centroid [, info]) euclidean distances
+    (ref: matching.py:71-82). NOTE: the reference clusters the *rows of the
+    distance matrix* as feature vectors; we reproduce that behavior."""
+    pts = np.asarray(centroids, np.float64)
+    if infos is not None:
+        pts = np.hstack([pts, np.asarray(infos, np.float64)[:, None]])
+    feat = _pairwise_distances(pts, squared=False)
+    return _dbscan(_pairwise_distances(feat), thr)
+
+
+def get_centroids_labels_grid(centroids: np.ndarray,
+                              infos: Optional[np.ndarray] = None,
+                              thr: float = 4.0) -> np.ndarray:
+    """Voxel-grid clustering: points sharing a (thr-sized) grid cell get the
+    same label (torch_cluster.grid_cluster semantics,
+    ref: matching.py:59-69)."""
+    pts = np.asarray(centroids, np.float64)
+    if infos is not None:
+        pts = np.hstack([pts, np.asarray(infos, np.float64)[:, None]])
+    cells = np.floor(pts / thr).astype(np.int64)
+    _, labels = np.unique(cells, axis=0, return_inverse=True)
+    return labels.astype(np.int64)
+
+
 def unique_ids(pred: Detections, allocator: IdAllocator, episode: int,
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Always-fresh ids (ref: matching.py:156-171 — the behavior actually in

@@ -74,6 +74,20 @@ def save_obs(exp_path: str, episode_id: int, observations: Dict[str, Any],
     return paths
 
 
+def mask_more_n(arr, n: int) -> np.ndarray:
+    """Boolean mask keeping at most the first `n` entries of every run of
+    consecutive equal values (ref: replay.py:25-37 _mask_more_n — the
+    duplicate-step filter in the dense sample list). Vectorized."""
+    arr = np.asarray(arr)
+    if arr.size == 0:
+        return np.zeros(arr.shape, bool)
+    change = np.ones(arr.shape[0], bool)
+    change[1:] = arr[1:] != arr[:-1]
+    idx = np.arange(arr.shape[0])
+    run_start = idx[change][np.cumsum(change) - 1]
+    return (idx - run_start) < n
+
+
 class SampleLoader:
     """Index an experiment directory into
     ``paths[episode][camera][modality][step]`` (ref: replay.py:40-116)."""
@@ -81,9 +95,14 @@ class SampleLoader:
     def __init__(self, exp_path: str):
         self.exp_path = exp_path
         self.paths: Dict[int, Dict[int, Dict[str, Dict[int, str]]]] = {}
-        self._load_paths()
+        eps: List[int] = []
+        steps: List[int] = []
+        self._load_paths(eps, steps)
+        # flat per-file lists in walk order (ref: replay.py:73-74)
+        self.episode_list = np.asarray(eps, np.int64)
+        self.steps_list = np.asarray(steps, np.int64)
 
-    def _load_paths(self) -> None:
+    def _load_paths(self, eps: List[int], steps: List[int]) -> None:
         for root, _dirs, files in os.walk(self.exp_path):
             for fname in sorted(files):
                 m = FILENAME_RE.search(fname)
@@ -96,6 +115,23 @@ class SampleLoader:
                 self.paths.setdefault(ep, {}).setdefault(cam, {}).setdefault(
                     mod, {}
                 )[step] = os.path.join(root, fname)
+                eps.append(ep)
+                steps.append(step)
+
+    def get_episode_and_steps_dense_list(
+            self, filter_episodes: Optional[Iterable[int]] = None,
+            max_repeat: int = 1):
+        """Flat (episodes, steps) over all indexed files, keeping at most
+        `max_repeat` consecutive duplicates of a step (one entry per step
+        instead of one per modality; ref: replay.py:104-116)."""
+        mask = mask_more_n(self.steps_list, max_repeat)
+        if filter_episodes is not None:
+            allowed = set(int(e) for e in filter_episodes)
+            mask &= np.asarray([int(e) in allowed for e in self.episode_list])
+        return self.episode_list[mask], self.steps_list[mask]
+
+    def __len__(self) -> int:
+        return len(self.get_episode_and_steps_dense_list()[0])
 
     # -- queries ----------------------------------------------------------
     @property
