@@ -106,6 +106,28 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
     )
 
 
+def perceive_sharded(params: PerceptionParams, images_u8: jnp.ndarray, rng,
+                     cfg: ExperimentConfig, mesh) -> FrameResult:
+    """Multi-chip serving: the env/frame batch is sharded over the mesh's
+    "data" axis (params replicated), so throughput scales ~linearly with
+    chips — the fused perception program itself is unchanged; XLA propagates
+    the batch sharding through detector, captioner decode loop and sentence
+    encoder. Batch must be divisible by mesh.shape["data"].
+    (ref: the reference scales by habitat worker processes per GPU,
+    utils/habitat_utils.py:54-150; here scaling is a sharding annotation.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert images_u8.shape[0] % mesh.shape["data"] == 0, (
+        f"batch {images_u8.shape[0]} not divisible by data axis "
+        f"{mesh.shape['data']}")
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+    images = jax.device_put(jnp.asarray(images_u8),
+                            NamedSharding(mesh, P("data")))
+    rng = jax.device_put(rng, rep)
+    return perceive(params, images, rng, cfg)
+
+
 class Perceiver:
     """Host-facing wrapper: owns params, tokenizer, and rng; decodes caption
     strings on demand."""

@@ -1,0 +1,56 @@
+"""Multi-device serving: `perceive_sharded` over the 8-virtual-device CPU
+mesh must produce exactly the outputs of the single-device program (batch
+sharding is math-preserving: per-example compute is independent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from embodied_captioning_tpu.config import load_config
+from embodied_captioning_tpu.parallel.mesh import make_mesh
+from embodied_captioning_tpu.perception import (
+    init_perception, perceive, perceive_sharded,
+)
+
+
+def test_perceive_sharded_matches_single_device():
+    cfg = load_config("tiny")
+    params = init_perception(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(1)
+    e = 8  # one frame per data shard
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (e, cfg.detector.image_size, cfg.detector.image_size, 3)
+    ).astype(np.uint8)
+
+    single = perceive(params, jnp.asarray(imgs), rng, cfg)
+    mesh = make_mesh(shape=(8, 1))
+    sharded = perceive_sharded(params, jnp.asarray(imgs), rng, cfg, mesh)
+
+    np.testing.assert_array_equal(np.asarray(sharded.detections.valid),
+                                  np.asarray(single.detections.valid))
+    np.testing.assert_array_equal(np.asarray(sharded.caption_tokens),
+                                  np.asarray(single.caption_tokens))
+    np.testing.assert_allclose(np.asarray(sharded.detections.boxes),
+                               np.asarray(single.detections.boxes),
+                               rtol=1e-5, atol=1e-4)
+    emb_s = np.asarray(sharded.detections.embeddings)
+    emb_1 = np.asarray(single.detections.embeddings)
+    np.testing.assert_allclose(emb_s, emb_1, rtol=1e-4, atol=1e-4)
+
+
+def test_vector_env_async_step():
+    """step_async/step_wait and async_step_at/wait_step_at return the same
+    results the synchronous path would."""
+    from embodied_captioning_tpu.envs.vector_env import VectorEnv
+
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=2", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "map.voxel_size=0.1"])
+    envs = VectorEnv(cfg)
+    envs.step_async([1, 2])
+    obs, rewards, dones, infos = envs.step_wait()
+    assert obs["rgb"].shape[0] == 2 and rewards.shape == (2,)
+    envs.async_step_at(0, 2)
+    o, r, d, i = envs.wait_step_at(0)
+    assert "rgb" in o
+    envs.close()
