@@ -244,6 +244,12 @@ class RuntimeConfig:
     num_envs: int = 4
     env_name: str = "Habitat3Env"  # envs/registry.py name
     detector_batch: int = 8  # ref: goal_exploration.py:77
+    # caption only the E*slots highest-scored detection slots per batch
+    # (0 = caption every padded slot). The reference captions only its real
+    # above-threshold detections (~1-4/frame at threshold 0.9; bbsf sensor
+    # caps at 10, ref: envs/sensors.py:54-98) — 4 matches that operating
+    # point while our padded capacity is 16.
+    caption_slots_per_frame: int = 0
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 7

@@ -170,17 +170,23 @@ def _sample(logits: jnp.ndarray, key, top_k: int, top_p: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "top_k", "top_p", "temperature"))
+    static_argnames=("cfg", "max_len", "top_k", "top_p", "temperature",
+                     "full_logits"))
 def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
              max_len: Optional[int] = None, top_k: int = 0, top_p: float = 0.0,
-             temperature: float = 0.0):
+             temperature: float = 0.0, full_logits: bool = False):
     """Batched KV-cached caption generation.
 
     Args:
       images_u8: [B, H, W, 3] uint8 crops.
+      full_logits: return the whole [B, L-1, V] per-step logits instead of
+        the chosen-token log-probs. At reference vocab (49,408) the full
+        tensor is ~200 KB/step/sequence of HBM->host output — opt-in for
+        parity/debug only; perplexity needs just the chosen log-probs.
 
-    Returns (tokens [B, L] int32 incl. BOS, step_logits [B, L-1, V],
-    lengths [B] int32). Finished rows emit PAD after EOS.
+    Returns (tokens [B, L] int32 incl. BOS,
+    step_logprobs [B, L-1] f32 chosen-token log-probs (or [B, L-1, V] when
+    full_logits), lengths [B] int32). Finished rows emit PAD after EOS.
     """
     max_len = max_len or cfg.max_caption_len
     b = images_u8.shape[0]
@@ -205,16 +211,21 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
         nxt = _sample(logits, sub, top_k, top_p, temperature).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
         finished = finished | (nxt == EOS_ID)
-        return (nxt, finished, tc, mc, key), (nxt, logits)
+        if full_logits:
+            out = logits
+        else:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            out = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        return (nxt, finished, tc, mc, key), (nxt, out)
 
     tok0 = jnp.full((b,), BOS_ID, jnp.int32)
     fin0 = jnp.zeros((b,), bool)
-    (_, _, _, _, _), (toks, step_logits) = jax.lax.scan(
+    (_, _, _, _, _), (toks, step_out) = jax.lax.scan(
         step, (tok0, fin0, tc, mc, key), jnp.arange(max_len - 1))
     tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
-    step_logits = jnp.moveaxis(step_logits, 0, 1)  # [B, L-1, V]
+    step_out = jnp.moveaxis(step_out, 0, 1)  # [B, L-1(, V)]
     lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1)
-    return tokens, step_logits, lengths
+    return tokens, step_out, lengths
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "draft_len",
@@ -441,13 +452,17 @@ def generate_beam(params: Params, images_u8: jnp.ndarray,
     return tokens, norm[jnp.arange(b), best]
 
 
-def perplexity(step_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+def perplexity(step_out: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """exp(mean -log p(chosen)) over decode steps, per sequence
     (ref: captioner/captioning_predictor.py:34-47 computes it from the
-    stepwise max-prob logits)."""
+    stepwise max-prob logits). Accepts either generate()'s default
+    chosen-token log-probs [B, L-1] or full step logits [B, L-1, V]."""
     chosen = tokens[:, 1:]
-    logp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, chosen[..., None], axis=-1)[..., 0]
+    if step_out.ndim == 3:
+        logp = jax.nn.log_softmax(step_out.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, chosen[..., None], axis=-1)[..., 0]
+    else:
+        nll = -step_out.astype(jnp.float32)
     mask = (chosen != PAD_ID).astype(jnp.float32)
     mean_nll = jnp.sum(nll * mask, axis=1) / jnp.maximum(
         jnp.sum(mask, axis=1), 1.0)

@@ -210,14 +210,23 @@ def all_anchors(size: int) -> jnp.ndarray:
                            axis=0)
 
 
-def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
-                 size: int) -> jnp.ndarray:
+# detectron2's Box2BoxTransform weights: the ROI stage scales its regression
+# targets by (10, 10, 5, 5), amplifying the localization learning signal ~10x
+# relative to raw deltas (RPN uses (1, 1, 1, 1)).
+ROI_BOX_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+RPN_BOX_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+
+
+def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray, size: int,
+                 weights: Tuple[float, ...] = RPN_BOX_WEIGHTS) -> jnp.ndarray:
     """(dx, dy, dw, dh) deltas -> XYXY, clipped to the image."""
     aw = anchors[:, 2] - anchors[:, 0]
     ah = anchors[:, 3] - anchors[:, 1]
     ax = (anchors[:, 0] + anchors[:, 2]) / 2
     ay = (anchors[:, 1] + anchors[:, 3]) / 2
-    dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
+    wx, wy, ww, wh = weights
+    dx, dy = deltas[:, 0] / wx, deltas[:, 1] / wy
+    dw, dh = deltas[:, 2] / ww, deltas[:, 3] / wh
     cx = ax + dx * aw
     cy = ay + dy * ah
     w = aw * jnp.exp(jnp.clip(dw, -4.0, 4.0))
@@ -227,7 +236,8 @@ def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
     return jnp.clip(boxes, 0.0, size)
 
 
-def encode_boxes(anchors: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+def encode_boxes(anchors: jnp.ndarray, boxes: jnp.ndarray,
+                 weights: Tuple[float, ...] = RPN_BOX_WEIGHTS) -> jnp.ndarray:
     aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-3)
     ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-3)
     ax = (anchors[:, 0] + anchors[:, 2]) / 2
@@ -236,8 +246,9 @@ def encode_boxes(anchors: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-3)
     bx = (boxes[:, 0] + boxes[:, 2]) / 2
     by = (boxes[:, 1] + boxes[:, 3]) / 2
-    return jnp.stack([(bx - ax) / aw, (by - ay) / ah, jnp.log(bw / aw),
-                      jnp.log(bh / ah)], axis=-1)
+    wx, wy, ww, wh = weights
+    return jnp.stack([wx * (bx - ax) / aw, wy * (by - ay) / ah,
+                      ww * jnp.log(bw / aw), wh * jnp.log(bh / ah)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +407,8 @@ def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
         fg = probs[:, :-1]
         scores = jnp.max(fg, axis=-1)
         classes = jnp.argmax(fg, axis=-1).astype(jnp.int32)
-        boxes = decode_boxes(props, box_deltas, cfg.image_size)
+        boxes = decode_boxes(props, box_deltas, cfg.image_size,
+                             weights=ROI_BOX_WEIGHTS)
         ok = pvalid & (scores > cfg.score_threshold)
         idx, keep = class_aware_nms_topk(boxes, scores, classes,
                                          cfg.nms_iou_threshold,
@@ -405,6 +417,14 @@ def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
         det_classes = classes[idx]
         det_scores = scores[idx]
         det_logits = fg[idx]
+        # cascade-lite box refinement: re-pool the selected boxes and run
+        # the (shared-weight) box head once more — the head was trained on
+        # proposals of every quality incl. spliced GT, so a second decode
+        # step contracts loose boxes toward the object (classes/scores stay
+        # from pass 1; refining only geometry cannot create NMS duplicates)
+        _, _, deltas2 = _box_head(params, p2, det_boxes, cfg)
+        det_boxes = decode_boxes(det_boxes, deltas2, cfg.image_size,
+                                 weights=ROI_BOX_WEIGHTS)
         if with_masks:
             det_masks = _mask_head(params, p2, det_boxes, det_classes, cfg)
             det_masks = jax.nn.sigmoid(det_masks) * keep[:, None, None]
@@ -563,7 +583,8 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
             + 0.5 * jnp.sum(cls_loss_v * bg_w2)
             / jnp.maximum(jnp.sum(bg_w2), 1.0))
 
-        tgt_roi_deltas = encode_boxes(props, gt_boxes[r_gt])
+        tgt_roi_deltas = encode_boxes(props, gt_boxes[r_gt],
+                                      weights=ROI_BOX_WEIGHTS)
         fg_w = fg.astype(jnp.float32)[:, None]
         roi_box_loss = jnp.sum(_smooth_l1(box_deltas - tgt_roi_deltas) * fg_w
                                ) / jnp.maximum(jnp.sum(fg_w) * 4, 1.0)

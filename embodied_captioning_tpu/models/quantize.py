@@ -61,11 +61,13 @@ def maybe_dequant(w: Any, dtype=jnp.bfloat16) -> jnp.ndarray:
 import os as _os
 
 # W8A8: quantize activations per token on the fly and run the matmul as
-# int8 x int8 -> int32 on the MXU — v5e executes int8 dots at 2x the bf16
-# rate (394 TOPS vs 98.5 TFLOPS), and weight HBM traffic stays halved.
-# Enabled by default whenever the weights are already QuantizedArray
-# (serving mode); ECAP_W8A8=0 falls back to weight-only dequantize->bf16.
-_W8A8 = _os.environ.get("ECAP_W8A8", "1") == "1"
+# int8 x int8 -> int32 on the MXU. On TPU generations where int8 dots run
+# at 2x the bf16 rate this doubles matmul throughput; on THIS chip a fenced
+# microbenchmark measured int8 == bf16 (130 TFLOP/s both, 4096^3 matmuls),
+# so W8A8 only adds activation-quantization traffic — it is therefore
+# OPT-IN via ECAP_W8A8=1; default serving uses weight-only int8 (halved
+# weight HBM traffic, bf16 MXU).
+_W8A8 = _os.environ.get("ECAP_W8A8", "0") == "1"
 
 
 def w8a8_enabled() -> bool:

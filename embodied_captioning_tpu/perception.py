@@ -49,7 +49,7 @@ class PerceptionParams(NamedTuple):
 class FrameResult(NamedTuple):
     detections: Detections      # [E, N, ...] with full-frame masks+embeddings
     caption_tokens: jnp.ndarray  # [E, N, L]
-    caption_logits: jnp.ndarray  # [E, N, L-1, V] per-step logits
+    caption_logprobs: jnp.ndarray  # [E, N, L-1] chosen-token log-probs
     caption_lengths: jnp.ndarray  # [E, N]
 
 
@@ -65,25 +65,53 @@ def init_perception(key, cfg: ExperimentConfig) -> PerceptionParams:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
              cfg: ExperimentConfig) -> FrameResult:
-    """images [E, S, S, 3] uint8 -> FrameResult. One XLA program."""
+    """images [E, S, S, 3] uint8 -> FrameResult. One XLA program.
+
+    Caption-slot compaction: the reference captions only its real,
+    above-threshold detections (typically 1-4 per frame at Mask2Former
+    threshold 0.9; its bbsf sensor caps at 10, ref: envs/sensors.py:54-98),
+    while our Detections struct pads to max_detections. When
+    `runtime.caption_slots_per_frame` > 0, only the E*slots highest-scored
+    detection slots across the batch are cropped/captioned/embedded (static
+    shapes: a top-k gather), cutting ViT+decode FLOPs by N/slots without
+    changing the detection output; uncaptioned slots get zero embeddings.
+    0 captions every slot (the padded worst case)."""
     e = images_u8.shape[0]
     det = DET.forward(params.detector, images_u8, cfg.detector)
     size = cfg.detector.image_size
     fmasks = DET.full_masks(det, size)  # [E, N, S, S]
     det = det.replace(masks=fmasks)
 
-    # crops for the captioner
+    n = det.capacity
+    spf = cfg.runtime.caption_slots_per_frame
+    c = e * spf if 0 < spf < n else e * n  # captioned crop count (static)
+
     boxes = expand_boxes(det.boxes, CROP_EXPAND, size, size)
     crop_size = cfg.captioner.vision.image_size
 
-    def crops_one(img, bxs):
-        return crop_and_resize(img.astype(jnp.float32), bxs, crop_size)
+    if c < e * n:
+        flat_scores = (det.scores * det.valid).reshape(e * n)
+        _, sel = jax.lax.top_k(flat_scores, c)      # [C] flat slot indices
+        boxes_flat = boxes.reshape(e * n, 4)[sel]   # [C, 4]
+        img_idx = sel // n                          # [C]
 
-    crops = jax.vmap(crops_one)(images_u8, boxes)  # [E, N, s, s, 3] float
-    n = det.capacity
-    flat = crops.reshape(e * n, crop_size, crop_size, 3).astype(jnp.uint8)
+        def crop_one(img, box):
+            return crop_and_resize(img.astype(jnp.float32), box[None],
+                                   crop_size)[0]
 
-    tokens, logits, lengths = CAP.generate(
+        crops = jax.vmap(crop_one)(images_u8[img_idx], boxes_flat)
+        flat = crops.astype(jnp.uint8)              # [C, s, s, 3]
+    else:
+        sel = jnp.arange(e * n)
+
+        def crops_one(img, bxs):
+            return crop_and_resize(img.astype(jnp.float32), bxs, crop_size)
+
+        crops = jax.vmap(crops_one)(images_u8, boxes)  # [E, N, s, s, 3]
+        flat = crops.reshape(e * n, crop_size, crop_size, 3
+                             ).astype(jnp.uint8)
+
+    tokens, logprobs, lengths = CAP.generate(
         params.captioner, flat, rng, cfg.captioner,
         max_len=cfg.captioner.max_caption_len)
 
@@ -96,13 +124,24 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
         se_tokens = jnp.pad(tokens, ((0, 0), (0, se_len - l)))
     emb = SB.encode_tokens(params.sbert, se_tokens, cfg.sentence_encoder)
 
-    emb = emb.reshape(e, n, -1) * det.valid[..., None]
+    # scatter compacted results back to [E, N] slots
+    if c < e * n:
+        d_emb = emb.shape[-1]
+        full_emb = jnp.zeros((e * n, d_emb), emb.dtype).at[sel].set(emb)
+        full_tok = jnp.zeros((e * n, l), tokens.dtype).at[sel].set(tokens)
+        full_lp = jnp.zeros((e * n, logprobs.shape[1]), logprobs.dtype
+                            ).at[sel].set(logprobs)
+        full_len = jnp.zeros((e * n,), lengths.dtype).at[sel].set(lengths)
+    else:
+        full_emb, full_tok, full_lp, full_len = emb, tokens, logprobs, lengths
+
+    emb = full_emb.reshape(e, n, -1) * det.valid[..., None]
     det = det.replace(embeddings=emb)
     return FrameResult(
         detections=det,
-        caption_tokens=tokens.reshape(e, n, -1),
-        caption_logits=logits.reshape(e, n, logits.shape[1], -1),
-        caption_lengths=lengths.reshape(e, n),
+        caption_tokens=full_tok.reshape(e, n, -1),
+        caption_logprobs=full_lp.reshape(e, n, -1),
+        caption_lengths=full_len.reshape(e, n),
     )
 
 

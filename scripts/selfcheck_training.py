@@ -145,22 +145,33 @@ def main() -> None:
     print(f"[selfcheck] trained {args.steps} steps in "
           f"{time.time() - t0:.0f}s", flush=True)
 
-    toks, _, _ = generate(state.params, jnp.asarray(np.stack(te_crops)),
-                          jax.random.PRNGKey(1), ccfg)
-    preds = [tok.decode(t) for t in np.asarray(toks)]
-    class_hits = sum(1 for p, c in zip(preds, te_cls)
-                     if CLASS_NAMES[c].split()[0] in p)
-    enc = SentenceEncoder.create(0, cfg.sentence_encoder)
-    ep = enc.encode(preds)
-    er = enc.encode(te_caps)
-    cos = float(np.mean(np.sum(ep * er, axis=1)))
-    bleu = float(np.mean([caption_scores(p, r)["bleu"]
-                          for p, r in zip(preds, te_caps)]))
+    def evaluate(params):
+        toks, _, _ = generate(params, jnp.asarray(np.stack(te_crops)),
+                              jax.random.PRNGKey(1), ccfg)
+        preds = [tok.decode(t) for t in np.asarray(toks)]
+        class_hits = sum(1 for p, c in zip(preds, te_cls)
+                         if CLASS_NAMES[c].split()[0] in p)
+        enc = SentenceEncoder.create(0, cfg.sentence_encoder)
+        ep = enc.encode(preds)
+        er = enc.encode(te_caps)
+        cos = float(np.mean(np.sum(ep * er, axis=1)))
+        bleu = float(np.mean([caption_scores(p, r)["bleu"]
+                              for p, r in zip(preds, te_caps)]))
+        return preds, class_hits / len(preds), cos, bleu
+
+    preds, acc, cos, bleu = evaluate(state.params)
+    # serving-quality check: the bench serves int8 weights (W8A8); measure
+    # the quality delta of the SAME trained model under quantization
+    from embodied_captioning_tpu.models.quantize import quantize_params
+
+    _, acc_q, cos_q, bleu_q = evaluate(quantize_params(state.params))
     print(json.dumps({
         "train_crops": len(tr_crops), "test_crops": len(te_crops),
         "first_loss": round(first, 3), "last_loss": round(last, 3),
-        "class_word_accuracy": round(class_hits / len(preds), 3),
+        "class_word_accuracy": round(acc, 3),
         "sbert_cosine": round(cos, 4), "bleu": round(bleu, 4),
+        "int8_class_word_accuracy": round(acc_q, 3),
+        "int8_sbert_cosine": round(cos_q, 4), "int8_bleu": round(bleu_q, 4),
         "examples": [{"pred": p, "ref": r}
                      for p, r in list(zip(preds, te_caps))[:4]],
     }))

@@ -48,7 +48,9 @@ def test_generate_shapes_and_determinism(cap_params, rng):
     # greedy decoding: key must not matter
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     assert t1.shape == (2, CFG.max_caption_len)
-    assert l1.shape == (2, CFG.max_caption_len - 1, CFG.text.vocab_size)
+    # default: chosen-token log-probs (full [B, L-1, V] logits are opt-in)
+    assert l1.shape == (2, CFG.max_caption_len - 1)
+    assert (np.asarray(l1) <= 0).all()
     ppl = np.asarray(perplexity(l1, t1))
     assert (ppl > 0).all() and np.isfinite(ppl).all()
 
@@ -58,7 +60,7 @@ def test_generate_matches_uncached_forward(cap_params, rng):
     teacher-forcing the generated tokens reproduces the same step logits."""
     imgs = _images(rng)
     toks, step_logits, _ = generate(cap_params, imgs, jax.random.PRNGKey(0),
-                                    CFG)
+                                    CFG, full_logits=True)
     full_logits, _, _ = forward(cap_params, imgs, toks, CFG)
     # step_logits[:, i] predicts token i+1 given prefix -> compare to
     # full_logits[:, i] (same position, causal)

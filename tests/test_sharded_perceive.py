@@ -38,6 +38,45 @@ def test_perceive_sharded_matches_single_device():
     np.testing.assert_allclose(emb_s, emb_1, rtol=1e-4, atol=1e-4)
 
 
+def test_caption_slot_compaction():
+    """With runtime.caption_slots_per_frame set, only the top-scored slots
+    get captions/embeddings; detection outputs are unchanged."""
+    import dataclasses
+
+    cfg = load_config("tiny")
+    cfg_c = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime,
+                                         caption_slots_per_frame=2))
+    params = init_perception(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, cfg.detector.image_size, cfg.detector.image_size, 3)
+    ).astype(np.uint8))
+
+    full = perceive(params, imgs, rng, cfg)
+    comp = perceive(params, imgs, rng, cfg_c)
+
+    # detections identical
+    np.testing.assert_array_equal(np.asarray(comp.detections.boxes),
+                                  np.asarray(full.detections.boxes))
+    np.testing.assert_array_equal(np.asarray(comp.detections.valid),
+                                  np.asarray(full.detections.valid))
+    # at most e*slots captioned slots (nonzero embedding rows)
+    emb = np.asarray(comp.detections.embeddings).reshape(-1, 384)
+    captioned = (np.abs(emb).sum(-1) > 0).sum()
+    assert captioned <= 2 * 2
+    # the captioned slots are the highest-scored valid ones, and their
+    # tokens match the uncompacted program's tokens for those slots
+    scores = (np.asarray(full.detections.scores)
+              * np.asarray(full.detections.valid)).reshape(-1)
+    sel = np.argsort(-scores)[: 2 * 2]
+    tok_c = np.asarray(comp.caption_tokens).reshape(len(scores), -1)
+    tok_f = np.asarray(full.caption_tokens).reshape(len(scores), -1)
+    for i in sel:
+        if scores[i] > 0:
+            np.testing.assert_array_equal(tok_c[i], tok_f[i])
+
+
 def test_vector_env_async_step():
     """step_async/step_wait and async_step_at/wait_step_at return the same
     results the synchronous path would."""
