@@ -8,7 +8,10 @@ sentence embedding) — the reference's per-step hot path
 (ref: goal_exploration.py:77-144).
 
 Prints ONE JSON line. Env knobs: BENCH_PRESET (tiny|base|large, default
-base), BENCH_BATCH (frames per launch, default 16), BENCH_ITERS (default 8).
+large = reference coca_ViT-L-14 dims + 49,408 vocab), BENCH_BATCH (frames
+per launch, default 16), BENCH_ITERS (default 8), BENCH_CAPTION_SLOTS
+(captioned detections per frame, default 4 = the reference operating
+point; 0 = caption all padded slots).
 """
 
 import json
@@ -20,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    preset = os.environ.get("BENCH_PRESET", "base")
+    # default preset: "large" = the reference's coca_ViT-L-14 dimensions at
+    # the 49,408-token vocabulary — the headline-comparable configuration
+    preset = os.environ.get("BENCH_PRESET", "large")
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     # captioned slots per frame: the reference captions only its real

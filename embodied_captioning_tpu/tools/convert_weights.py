@@ -60,8 +60,12 @@ def convert_clip_vit(state: Mapping[str, Any], prefix: str = "visual."
     Expected keys (open_clip naming): `conv1.weight` [width, 3, p, p],
     `class_embedding`, `positional_embedding`, `ln_pre`, `ln_post`,
     `transformer.resblocks.{i}.{ln_1,attn,ln_2,mlp.c_fc,mlp.c_proj}`.
-    The attentional pooler / proj are left at their existing values when the
-    source has none (open_clip CoCa has `attn_pool` — mapped when present).
+    The backbone (patch embed -> blocks -> ln_post) converts exactly
+    (parity-tested at full ViT-L/14 scale in tests/test_convert.py).
+    NOT mapped: open_clip CoCa's `attn_pool` — its AttentionalPooler
+    applies LayerNorm to queries/keys *before* attention while ours
+    normalizes after; porting it exactly needs a dedicated pooler variant
+    (documented limitation; the pooler is fine-tuned in-framework anyway).
     """
     sd = {k[len(prefix):]: v for k, v in state.items()
           if k.startswith(prefix)}

@@ -92,6 +92,36 @@ def test_clip_vit_conversion_forward_parity(rng):
     assert c > 0.999
 
 
+def test_clip_vit_conversion_parity_vitL_scale():
+    """Full ViT-L/14 dims (width 1024, 16 heads, patch 14, image 224):
+    backbone conversion is structurally exact at real-checkpoint scale, so
+    porting actual open_clip weights is a pure data operation. Depth is
+    trimmed to 4 layers for test runtime — layer mapping is identical per
+    layer (ref: captioner/models/coca/coca_model.py ViT-L-14 config)."""
+    width, layers, heads, patch, image = 1024, 4, 16, 14, 224
+    tv = _tiny_torch_vit(width, layers, heads, patch, image).eval()
+    state = {"visual." + k: v for k, v in tv.state_dict().items()}
+    converted = convert_clip_vit(state)
+    cfg = VitConfig(image_size=image, patch_size=patch, width=width,
+                    layers=layers, heads=heads, pool_queries=4, pool_heads=8,
+                    embed_dim=768)
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    for k, v in converted.items():
+        params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+
+    rng = np.random.default_rng(1)
+    img = rng.random((1, image, image, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    from embodied_captioning_tpu.ops.image import patchify
+
+    ours = np.asarray(V.vit_features(params, patchify(jnp.asarray(img),
+                                                      patch), cfg))
+    c = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert c > 0.995, c  # bf16 compute vs torch f32
+    np.testing.assert_allclose(ours, ref, rtol=0.2, atol=0.15)
+
+
 def test_bert_encoder_conversion_shapes():
     from transformers import BertConfig, BertModel
 
