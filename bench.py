@@ -99,21 +99,54 @@ def main() -> None:
 
     frames = batch * iters
     fps = frames / dt
+    detail = {
+        "preset": preset, "batch": batch, "iters": iters,
+        "detector_size": size,
+        "caption_len": cfg.captioner.max_caption_len,
+        "max_detections": cfg.detector.max_detections,
+        "caption_slots_per_frame": caption_slots,
+        "vocab_size": cfg.captioner.text.vocab_size,
+        "p50_ms_per_frame": round(p50_ms, 2),
+        "device": str(jax.devices()[0]),
+    }
+
+    # BENCH_MODE=loop: the double-buffered agent loop with the simulator in
+    # it — VectorEnv.step_async dispatches frame t+1's render while this
+    # thread fences frame t's perception (north-star pipeline). Loop fps ~
+    # perception fps means the sim never stalls the loop.
+    if os.environ.get("BENCH_MODE", "") == "loop":
+        from embodied_captioning_tpu.envs.vector_env import VectorEnv
+        from embodied_captioning_tpu.config import apply_dotlist
+
+        lcfg = apply_dotlist(cfg, [f"runtime.num_envs={batch}",
+                                   f"sensors.height={size}",
+                                   f"sensors.width={size}"])
+        envs = VectorEnv(lcfg)
+        obs = envs.observe()
+        # warm the env-render program
+        envs.step_async([1] * batch)
+        obs, *_ = envs.step_wait()
+        t0 = time.perf_counter()
+        loop_iters = max(4, iters)
+        for i in range(loop_iters):
+            key, sub = jax.random.split(key)
+            _, cs = step(params, jnp.asarray(obs["rgb"], jnp.uint8), sub)
+            envs.step_async([1 + (i % 3)] * batch)  # sim t+1 in flight
+            _ = float(cs)                           # fence perception t
+            obs, *_ = envs.step_wait()
+        loop_dt = time.perf_counter() - t0
+        loop_fps = batch * loop_iters / loop_dt
+        envs.close()
+        detail["loop_fps"] = round(loop_fps, 2)
+        detail["loop_over_perception"] = round(loop_fps / fps, 3)
+        fps = loop_fps
+
     print(json.dumps({
         "metric": "captioned+detected frames/sec/chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 64.0, 3),
-        "detail": {
-            "preset": preset, "batch": batch, "iters": iters,
-            "detector_size": size,
-            "caption_len": cfg.captioner.max_caption_len,
-            "max_detections": cfg.detector.max_detections,
-            "caption_slots_per_frame": caption_slots,
-            "vocab_size": cfg.captioner.text.vocab_size,
-            "p50_ms_per_frame": round(p50_ms, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

@@ -1,0 +1,116 @@
+"""Clustering label helpers, duplicate-step masking, GymHabitatEnv-v2
+surface, and a compile-free base-preset shape regression check."""
+
+import numpy as np
+
+from embodied_captioning_tpu.mapping.matching import (
+    get_centroids_labels_dbscan, get_centroids_labels_grid,
+    get_wasserstein_labels,
+)
+from embodied_captioning_tpu.utils.obs_store import mask_more_n
+
+
+def test_mask_more_n_matches_reference_loop():
+    """Vectorized mask == the reference's python loop
+    (ref: replay.py:25-37)."""
+    def ref_impl(arr, n):
+        mask = np.ones(len(arr), bool)
+        current = arr[0]
+        count = 0
+        for idx, item in enumerate(arr):
+            if item == current:
+                count += 1
+            else:
+                current = item
+                count = 1
+            mask[idx] = count <= n
+        return mask
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        arr = rng.integers(0, 4, rng.integers(1, 40))
+        for n in (1, 2, 3):
+            np.testing.assert_array_equal(mask_more_n(arr, n),
+                                          ref_impl(arr, n), str(arr))
+    assert mask_more_n(np.asarray([]), 1).shape == (0,)
+
+
+def test_grid_cluster_labels():
+    pts = np.asarray([[0.1, 0.2, 0.0], [0.3, 0.1, 0.2],   # same 1.0-cell
+                      [5.0, 5.0, 5.0]])
+    labels = get_centroids_labels_grid(pts, thr=1.0)
+    assert labels[0] == labels[1] != labels[2]
+
+
+def test_dbscan_labels_cluster_and_noise():
+    pts = np.asarray([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1],
+                      [10.0, 10.0]])
+    labels = get_centroids_labels_dbscan(pts, thr=2.0)
+    assert labels[0] == labels[1] == labels[2] >= 0
+    assert labels[3] == -1  # isolated point = noise
+
+
+def test_wasserstein_labels_groups_similar_gaussians():
+    centroids = np.asarray([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0],
+                            [8.0, 8.0, 8.0]])
+    covs = np.asarray([np.eye(3), np.eye(3), 4 * np.eye(3)])
+    labels = get_wasserstein_labels(centroids, covs, thr=30.0)
+    assert labels[0] == labels[1]
+    assert labels[2] != labels[0]
+
+
+def test_gym_habitat_env_v2_surface():
+    from embodied_captioning_tpu.config import load_config
+    from embodied_captioning_tpu.envs.registry import make_env
+
+    cfg = load_config("tiny", overrides=[
+        "sensors.height=48", "sensors.width=48", "sim.scene_size=6.0",
+        "sim.num_objects=4", "map.voxel_size=0.1"])
+    env = make_env("GymHabitatEnv-v2", cfg)
+    # nothing mapped yet -> sentinel distance; no goal -> turn in place
+    assert env.get_distance(0) == env.NO_GOAL_DISTANCE
+    act, reached = env.get_action_to_goal()
+    assert act == 2 and not reached
+    a = env.sim.agent
+    env.set_goals((a.x, a.z))  # goal under the agent -> STOP/reached
+    act, reached = env.get_action_to_goal()
+    assert act == 0 and reached
+
+
+def test_base_preset_shapes_compile_free():
+    """jax.eval_shape of the full perception program at the BASE preset —
+    catches reference-scale shape regressions without paying the compile
+    (tests otherwise only build tiny models; VERDICT round-1 weak #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from embodied_captioning_tpu.config import load_config
+    from embodied_captioning_tpu.perception import (
+        PerceptionParams, init_perception, perceive,
+    )
+
+    cfg = load_config("base", overrides=[
+        "runtime.caption_slots_per_frame=4"])
+
+    def init_fn(key):
+        return init_perception(key, cfg)
+
+    params_shape = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    # reference-scale contract points
+    assert params_shape.captioner["head"]["w"].shape == (512, 49408)
+    assert params_shape.sbert["tok_emb"].shape == (49408, 384)
+
+    e, s = 2, cfg.detector.image_size
+    out = jax.eval_shape(
+        lambda p, im, k: perceive(p, im, k, cfg),
+        params_shape,
+        jax.ShapeDtypeStruct((e, s, s, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    n = cfg.detector.max_detections
+    assert out.detections.boxes.shape == (e, n, 4)
+    assert out.detections.masks.shape == (e, n, s, s)
+    assert out.caption_tokens.shape == (e, n, cfg.captioner.max_caption_len)
+    assert out.caption_logprobs.shape == (
+        e, n, cfg.captioner.max_caption_len - 1)
+    assert out.detections.embeddings.shape == (e, n, 384)
