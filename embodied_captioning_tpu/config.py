@@ -287,9 +287,11 @@ class ExperimentConfig:
                 captioner=(CaptionerConfig.base() if name == "base"
                            else CaptionerConfig.large()),
                 # shares the caption token ids (perception feeds generated
-                # ids straight in), so the vocab must cover the decoder's
+                # ids straight in), so the vocab must cover the decoder's;
+                # post_ln = the real MiniLM/BERT layer ordering, so ported
+                # all-MiniLM-L6-v2 checkpoints drop in exactly
                 sentence_encoder=SentenceEncoderConfig(
-                    vocab_size=CLIP_VOCAB_SIZE),
+                    vocab_size=CLIP_VOCAB_SIZE, post_ln=True),
                 detector=DetectorConfig(),
                 map=MapConfig(),
             )

@@ -112,6 +112,18 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     return x.reshape(b, t, heads, d // heads)
 
 
+import os as _os
+
+# measured on the large-preset decode: fusion was a small net NEGATIVE
+# (63.9 vs 64.7 fps at batch 16; 65.4 vs 66.3 at batch 32) — the per-step
+# weight concat/dequant costs more than the saved dispatches — so opt-in
+_FUSE_QKV = _os.environ.get("ECAP_FUSE_QKV", "0") == "1"
+
+
+def _fuse_qkv() -> bool:
+    return _FUSE_QKV
+
+
 def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
                   compute_dtype=jnp.bfloat16):
     """Project K/V once for reuse across decode steps (cross-attention KV of
@@ -142,16 +154,29 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
 
     Returns (out [B, Tq, D], updated cache or None).
     """
-    # (QKV-fusion into one matmul was measured neutral-to-negative here —
-    # XLA already schedules the three same-input matmuls well; keeping the
-    # simple form)
-    q = _split_heads(dense(p["q"], x, compute_dtype), heads)
-    if kv_precomputed is not None:
-        k, v = kv_precomputed
+    # QKV-fusion (3 matmuls -> 1) on the cached decode path: measured a
+    # small net negative on this chip (see _FUSE_QKV note), kept opt-in
+    # via ECAP_FUSE_QKV=1 for hardware where dispatch dominates harder.
+    if (cache is not None and kv is None and kv_precomputed is None
+            and _fuse_qkv()):
+        from .quantize import maybe_dequant
+
+        w = jnp.concatenate(
+            [maybe_dequant(p[n]["w"], compute_dtype) for n in "qkv"], axis=1)
+        b3 = jnp.concatenate([p[n]["b"] for n in "qkv"])
+        qkv = (jnp.dot(x.astype(compute_dtype), w,
+                       preferred_element_type=jnp.float32)
+               + b3).astype(compute_dtype)
+        q, k, v = (_split_heads(t, heads)
+                   for t in jnp.split(qkv, 3, axis=-1))
     else:
-        kv_src = x if kv is None else kv
-        k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
-        v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+        q = _split_heads(dense(p["q"], x, compute_dtype), heads)
+        if kv_precomputed is not None:
+            k, v = kv_precomputed
+        else:
+            kv_src = x if kv is None else kv
+            k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+            v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
 
     if cache is not None:
         tq = q.shape[1]
