@@ -64,8 +64,22 @@ def attentional_pool(params: Params, feats: jnp.ndarray,
                      pool_heads: int) -> jnp.ndarray:
     """Learned-query cross-attention pooling -> [B, pool_queries, width].
     Query 0 doubles as the global embedding (CoCa uses the first pooled token
-    for the contrastive head and the rest for captioning)."""
+    for the contrastive head and the rest for captioning).
+
+    Two orderings:
+    - native (default): attention then LayerNorm (`pool_ln`).
+    - CoCa-exact: when `pool_ln_q`/`pool_ln_k` are present (produced by
+      tools/convert_weights.convert_attn_pool), LayerNorms apply to the
+      queries and context BEFORE attention with no output LN — bit-matching
+      open_clip's AttentionalPooler so pretrained CoCa poolers port exactly.
+    """
     b = feats.shape[0]
+    if "pool_ln_q" in params:
+        q1 = layernorm(params["pool_ln_q"], params["pool_q"])
+        q = jnp.broadcast_to(q1[None], (b,) + q1.shape)
+        kv = layernorm(params["pool_ln_k"], feats)
+        out, _ = mha(params["pool_attn"], q, pool_heads, kv=kv)
+        return out
     q = jnp.broadcast_to(params["pool_q"][None], (b,) + params["pool_q"].shape)
     out, _ = mha(params["pool_attn"], q, pool_heads, kv=feats)
     return layernorm(params["pool_ln"], out)

@@ -18,7 +18,7 @@ torch modules with the same architecture and checking forward agreement.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -62,10 +62,9 @@ def convert_clip_vit(state: Mapping[str, Any], prefix: str = "visual."
     `transformer.resblocks.{i}.{ln_1,attn,ln_2,mlp.c_fc,mlp.c_proj}`.
     The backbone (patch embed -> blocks -> ln_post) converts exactly
     (parity-tested at full ViT-L/14 scale in tests/test_convert.py).
-    NOT mapped: open_clip CoCa's `attn_pool` — its AttentionalPooler
-    applies LayerNorm to queries/keys *before* attention while ours
-    normalizes after; porting it exactly needs a dedicated pooler variant
-    (documented limitation; the pooler is fine-tuned in-framework anyway).
+    open_clip CoCa's `attn_pool` converts separately via
+    `convert_attn_pool` (the forward switches to the CoCa-exact
+    LN-before-attention ordering when those params are present).
     """
     sd = {k[len(prefix):]: v for k, v in state.items()
           if k.startswith(prefix)}
@@ -105,6 +104,44 @@ def convert_clip_vit(state: Mapping[str, Any], prefix: str = "visual."
         params["proj"] = {"w": w.copy(), "b": np.zeros(w.shape[1],
                                                        np.float32)}
     return params
+
+
+def convert_attn_pool(state: Mapping[str, Any], prefix: str = "attn_pool.",
+                      dim: Optional[int] = None) -> Dict[str, Any]:
+    """open_clip AttentionalPooler -> models/vit.attentional_pool params
+    (CoCa-exact ordering: ln_q/ln_k BEFORE attention, no output LN — the
+    forward takes that path whenever `pool_ln_q` is present).
+
+    Handles both torch MultiheadAttention layouts: packed `in_proj_weight`
+    (kdim == embed_dim) and separate `q/k/v_proj_weight` (kdim != embed_dim,
+    which CoCa uses when context width != pooler width).
+    """
+    sd = {k[len(prefix):]: v for k, v in state.items()
+          if k.startswith(prefix)}
+    query = _t(sd["query"]).copy()
+    dim = dim or query.shape[-1]
+    if "attn.in_proj_weight" in sd:
+        attn = _mha_from_in_proj(
+            sd["attn.in_proj_weight"], sd["attn.in_proj_bias"],
+            sd["attn.out_proj.weight"], sd["attn.out_proj.bias"], dim)
+    else:
+        b = _t(sd["attn.in_proj_bias"])
+        attn = {
+            "q": {"w": _t(sd["attn.q_proj_weight"]).T.copy(),
+                  "b": b[:dim].copy()},
+            "k": {"w": _t(sd["attn.k_proj_weight"]).T.copy(),
+                  "b": b[dim:2 * dim].copy()},
+            "v": {"w": _t(sd["attn.v_proj_weight"]).T.copy(),
+                  "b": b[2 * dim:].copy()},
+            "o": _dense_from_linear(sd["attn.out_proj.weight"],
+                                    sd["attn.out_proj.bias"]),
+        }
+    return {
+        "pool_q": query,
+        "pool_attn": attn,
+        "pool_ln_q": _ln(sd["ln_q.weight"], sd["ln_q.bias"]),
+        "pool_ln_k": _ln(sd["ln_k.weight"], sd["ln_k.bias"]),
+    }
 
 
 def convert_bert_encoder(state: Mapping[str, Any], prefix: str = ""

@@ -122,6 +122,53 @@ def test_clip_vit_conversion_parity_vitL_scale():
     np.testing.assert_allclose(ours, ref, rtol=0.2, atol=0.15)
 
 
+def test_attn_pool_conversion_parity():
+    """open_clip AttentionalPooler structure (query param, MHA with
+    kdim=context_dim, ln_q/ln_k before attention, no output LN) -> exact
+    function parity through convert_attn_pool + the CoCa-exact pooler path
+    (ref: open_clip transformer.AttentionalPooler, used by CoCa ViT-L)."""
+    import torch.nn as nn
+
+    from embodied_captioning_tpu.config import VitConfig
+    from embodied_captioning_tpu.models.vit import attentional_pool
+    from embodied_captioning_tpu.tools.convert_weights import (
+        convert_attn_pool,
+    )
+
+    d_model, context, heads, n_q = 64, 96, 8, 16
+
+    class Pooler(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.query = nn.Parameter(torch.randn(n_q, d_model) * 0.1)
+            self.attn = nn.MultiheadAttention(d_model, heads, kdim=context,
+                                              vdim=context, batch_first=True)
+            self.ln_q = nn.LayerNorm(d_model)
+            self.ln_k = nn.LayerNorm(context)
+
+        def forward(self, x):
+            x = self.ln_k(x)
+            q = self.ln_q(self.query)
+            out, _ = self.attn(q[None].expand(x.shape[0], -1, -1), x, x,
+                               need_weights=False)
+            return out
+
+    torch.manual_seed(0)
+    tp = Pooler().eval()
+    state = {"attn_pool." + k: v for k, v in tp.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_attn_pool(state, dim=d_model))
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 24, context)).astype(np.float32)
+    with torch.no_grad():
+        ref = tp(torch.from_numpy(feats)).numpy()
+    ours = np.asarray(attentional_pool(params, jnp.asarray(feats), heads))
+    c = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999, c
+    np.testing.assert_allclose(ours, ref, rtol=0.1, atol=0.03)
+
+
 def test_bert_encoder_conversion_shapes():
     from transformers import BertConfig, BertModel
 
