@@ -110,7 +110,8 @@ def qformer(params: Params, img_feats: jnp.ndarray, cfg: Blip2Config,
     nq = cfg.num_queries
     if text_tokens is not None:
         t = text_tokens.shape[1]
-        txt = params["q_tok_emb"][text_tokens] + params["q_pos"][None, :t]
+        txt = (params["q_tok_emb"][text_tokens]
+               + params["q_pos"][None, :t]).astype(jnp.bfloat16)
         x = jnp.concatenate([x, txt], axis=1)
         pad = text_tokens != PAD_ID
         attn_mask = jnp.concatenate(
@@ -196,8 +197,8 @@ def lm_logits(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     b, nq, _ = prefix.shape
     t = tokens.shape[1]
     emb = params["lm_tok_emb"][tokens]
-    x = jnp.concatenate([prefix, emb], axis=1) + params["lm_pos"][None,
-                                                                  : nq + t]
+    x = (jnp.concatenate([prefix, emb], axis=1)
+         + params["lm_pos"][None, : nq + t]).astype(jnp.bfloat16)
     total = nq + t
     mask = jnp.tril(jnp.ones((total, total), bool))
     mask = mask.at[:, :nq].set(True)  # prefix visible everywhere
@@ -221,7 +222,7 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: Blip2Config,
 
     # prime the caches with the prefix; cache_block_causal=False keeps full
     # prefix-to-prefix visibility (prefix-LM semantics, matching lm_logits)
-    x = prefix + params["lm_pos"][None, :nq]
+    x = (prefix + params["lm_pos"][None, :nq]).astype(jnp.bfloat16)
     new_caches = []
     for blk, c in zip(params["lm_blocks"], caches):
         x, c = block(blk, x, cfg.lm_heads, cache=c,
@@ -231,8 +232,8 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: Blip2Config,
 
     def step(carry, pos):
         tok, finished, caches = carry
-        x = params["lm_tok_emb"][tok][:, None] + params["lm_pos"][nq + pos][
-            None, None]
+        x = (params["lm_tok_emb"][tok][:, None]
+             + params["lm_pos"][nq + pos][None, None]).astype(jnp.bfloat16)
         cs = []
         for blk, c in zip(params["lm_blocks"], caches):
             x, c = block(blk, x, cfg.lm_heads, cache=c)

@@ -59,7 +59,10 @@ def init_captioner(key, cfg: CaptionerConfig) -> Params:
 def _text_tower(params: Params, tokens: jnp.ndarray, cfg: CaptionerConfig,
                 ) -> jnp.ndarray:
     t = tokens.shape[1]
-    x = params["tok_emb"][tokens] + params["pos_emb"][None, :t]
+    # bf16 residual stream (tok/pos embeddings are f32 master params; the
+    # add would otherwise promote every block's residuals to f32)
+    x = (params["tok_emb"][tokens]
+         + params["pos_emb"][None, :t]).astype(jnp.bfloat16)
     mask = causal_mask(t)
     for blk in params["text_blocks"]:
         x, _ = block(blk, x, cfg.text.heads, mask=mask)
@@ -130,7 +133,8 @@ def _decode_step(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
     K/V over the (fixed) image tokens are precomputed once per generation —
     the reference re-runs the full decoder per token with no cache at all
     (ref: coca_model.py:294-327)."""
-    x = params["tok_emb"][tok][:, None, :] + params["pos_emb"][pos][None, None]
+    x = (params["tok_emb"][tok][:, None, :]
+         + params["pos_emb"][pos][None, None]).astype(jnp.bfloat16)
     new_tc = []
     for blk, c in zip(params["text_blocks"], text_caches):
         x, c = block(blk, x, cfg.text.heads, cache=c)
@@ -267,7 +271,10 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
         writes; returns (logits [B, W, V], tc, mc)."""
         w = tokens_blk.shape[1]
         pos = pos0 + jnp.arange(w)
-        x = params["tok_emb"][tokens_blk] + params["pos_emb"][pos][None]
+        # bf16 stream, matching _decode_step exactly (the speculative
+        # verify pass must be bit-identical to the greedy decode path)
+        x = (params["tok_emb"][tokens_blk]
+             + params["pos_emb"][pos][None]).astype(jnp.bfloat16)
         new_tc = []
         for blk, c in zip(params["text_blocks"], tc):
             x, c = block(blk, x, t.heads, cache=c)

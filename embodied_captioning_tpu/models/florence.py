@@ -179,7 +179,8 @@ def florence_logits(params: Params, images_u8: jnp.ndarray,
 
     feats = _encode(params, images_u8, cfg)
     t = tokens.shape[1]
-    x = params["tok_emb"][tokens] + params["pos_emb"][None, :t]
+    x = (params["tok_emb"][tokens]
+         + params["pos_emb"][None, :t]).astype(jnp.bfloat16)  # bf16 stream
     mask = causal_mask(t)
     for blk in params["blocks"]:
         x, _ = block(blk, x, cfg.heads, mask=mask, cross=feats)
@@ -212,8 +213,8 @@ def generate(params: Params, images_u8: jnp.ndarray, cfg: FlorenceConfig,
                       for blk in params["blocks"])
 
     def run_token(tok, pos, caches):
-        x = params["tok_emb"][tok][:, None] + params["pos_emb"][pos][None,
-                                                                     None]
+        x = (params["tok_emb"][tok][:, None]
+             + params["pos_emb"][pos][None, None]).astype(jnp.bfloat16)
         cs = []
         for blk, c, ckv in zip(params["blocks"], caches, cross_kvs):
             x, c = block(blk, x, cfg.heads, cache=c, cross_kv=ckv)

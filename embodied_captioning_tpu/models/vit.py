@@ -53,7 +53,12 @@ def vit_features(params: Params, patch_tokens: jnp.ndarray,
     x = dense(params["patch"], patch_tokens)
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos"][None]
+    # cast the residual stream back to bf16: cls/pos are f32 params, and
+    # without this the add silently promotes all 24 blocks' residuals and
+    # layernorm outputs to f32 (profiled: the LN fusions alone then cost
+    # ~1.56 ms each writing f32[64,257,1024] at ViT-L scale)
+    x = (jnp.concatenate([cls, x], axis=1)
+         + params["pos"][None]).astype(jnp.bfloat16)
     x = layernorm(params["ln_pre"], x)
     for blk in params["blocks"]:
         x, _ = block(blk, x, cfg.heads)
