@@ -11,7 +11,9 @@ Matmuls run in bfloat16 on the MXU with float32 accumulation
 
 from __future__ import annotations
 
+import functools
 import math
+import os as _os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -54,16 +56,85 @@ def layernorm_init(dim: int) -> Params:
             "b": jnp.zeros((dim,), jnp.float32)}
 
 
+def _layernorm_ref(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                   eps: float, out_dtype) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=-1, keepdims=True)
+    m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    y = (xf - m1) * jax.lax.rsqrt(var + eps) * g + b
+    return y.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_pallas(x, g, b, eps):
+    from ..ops.pallas.layernorm import layernorm_nd
+
+    return layernorm_nd(x, g, b, eps=eps)
+
+
+def _ln_pallas_fwd(x, g, b, eps):
+    return _ln_pallas(x, g, b, eps), (x, g, b)
+
+
+def _ln_pallas_bwd(eps, res, dy):
+    x, g, b = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - m1 * m1, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - m1) * inv
+    dxhat = dyf * g.astype(jnp.float32)
+    dx = inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    red = tuple(range(x.ndim - 1))
+    dg = jnp.sum(dyf * xhat, axis=red)
+    db = jnp.sum(dyf, axis=red)
+    return (dx.astype(x.dtype), dg.astype(g.dtype), db.astype(b.dtype))
+
+
+_ln_pallas.defvjp(_ln_pallas_fwd, _ln_pallas_bwd)
+
+# measured neutral in situ on the ViT-L encode (132.9 vs 129-130 ms):
+# XLA's fused LN and the kernel both land at the same effective memory
+# speed for this producer/consumer pattern, so the kernel stays opt-in
+# like the other Pallas paths
+_PALLAS_LN = _os.environ.get("ECAP_PALLAS_LN", "0") == "1"
+
+
+def _ln_kernel_ok(x: jnp.ndarray) -> bool:
+    """Kernel path: TPU backend, lane-aligned width, enough rows to win."""
+    if not _PALLAS_LN or x.ndim < 2:
+        return False
+    d = x.shape[-1]
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    if d % 128 != 0 or n < 1024:
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
               out_dtype=None) -> jnp.ndarray:
     """Reductions in f32; output cast back to the input dtype by default so
-    bf16 residual streams stay bf16."""
+    bf16 residual streams stay bf16.
+
+    With ECAP_PALLAS_LN=1, large lane-aligned shapes on TPU take a Pallas
+    kernel (ops/pallas/layernorm.py); gradients flow through a custom VJP
+    with the standard LN backward. Measured neutral vs XLA on the ViT-L
+    encode — kept as an opt-in experiment surface."""
     out_dtype = out_dtype or x.dtype
-    x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
-    return y.astype(out_dtype)
+    if out_dtype == x.dtype and _ln_kernel_ok(x):
+        return _ln_pallas(x, p["g"], p["b"], eps)
+    return _layernorm_ref(x, p["g"], p["b"], eps, out_dtype)
 
 
 def embedding_init(key, vocab: int, dim: int) -> jnp.ndarray:
@@ -78,7 +149,11 @@ def embedding_init(key, vocab: int, dim: int) -> jnp.ndarray:
 class KVCache(NamedTuple):
     """Per-layer KV cache: fixed-capacity ring written at `index`.
 
-    k, v: [B, T_max, H, Dh]; index: [] int32 (next write position).
+    k: [B, H, Dh, T_max] — head-major, time-minor, so the single-query
+       q·K score contraction lowers to the MXU fusion path instead of a
+       VPU multiply+reduce (same layout trick as `precompute_kv`; profiled
+       ~3.5x per-op on the cross-attention decode).
+    v: [B, T_max, H, Dh]; index: [] int32 (next write position).
     """
 
     k: jnp.ndarray
@@ -89,7 +164,7 @@ class KVCache(NamedTuple):
     def create(batch: int, t_max: int, heads: int, head_dim: int,
                dtype=jnp.bfloat16) -> "KVCache":
         return KVCache(
-            k=jnp.zeros((batch, t_max, heads, head_dim), dtype),
+            k=jnp.zeros((batch, heads, head_dim, t_max), dtype),
             v=jnp.zeros((batch, t_max, heads, head_dim), dtype),
             index=jnp.zeros((), jnp.int32),
         )
@@ -111,8 +186,6 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     b, t, d = x.shape
     return x.reshape(b, t, heads, d // heads)
 
-
-import os as _os
 
 # measured on the large-preset decode: fusion was a small net NEGATIVE
 # (63.9 vs 64.7 fps at batch 16; 65.4 vs 66.3 at batch 32) — the per-step
@@ -199,16 +272,18 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
         v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
 
+    kt = None  # head-major [B, H, Dh, Tk] keys (cached decode path)
     if cache is not None:
         tq = q.shape[1]
         old_index = cache.index
         k_new = jax.lax.dynamic_update_slice(
-            cache.k, k.astype(cache.k.dtype), (0, old_index, 0, 0))
+            cache.k, jnp.transpose(k, (0, 2, 3, 1)).astype(cache.k.dtype),
+            (0, 0, 0, old_index))
         v_new = jax.lax.dynamic_update_slice(
             cache.v, v.astype(cache.v.dtype), (0, old_index, 0, 0))
         cache = KVCache(k_new, v_new, old_index + tq)
-        k, v = k_new, v_new
-        t_max = k.shape[1]
+        kt, v = k_new, v_new
+        t_max = kt.shape[3]
         pos = jnp.arange(t_max)[None, None, None, :]  # [1,1,1,Tk]
         if cache_block_causal:
             # causal WITHIN the newly written block too: query i (position
@@ -241,8 +316,12 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     # scores stay in compute dtype (bf16): halves the HBM traffic of the
     # [B, H, T, T] tensor, which dominates encoder time; the softmax itself
     # runs in f32 for stability
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
-                        k.astype(compute_dtype))
+    if kt is not None:
+        logits = jnp.einsum("bqhd,bhdk->bhqk", q.astype(compute_dtype),
+                            kt.astype(compute_dtype))
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
+                            k.astype(compute_dtype))
     logits = logits.astype(jnp.float32) / math.sqrt(dh)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))

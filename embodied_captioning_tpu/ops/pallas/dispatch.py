@@ -28,8 +28,11 @@ def maybe_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, h, t, d = q.shape
     if t < 64 or d % 8 != 0:
         return None
-    from .flash_attention import flash_attention
+    from .flash_attention import MAX_SINGLE_BLOCK_T, flash_attention
 
+    if t <= MAX_SINGLE_BLOCK_T:
+        # single-block kernel takes any T directly — no padding FLOPs
+        return flash_attention(q, k, v, causal=causal)
     block = 128
     t_pad = ((t + block - 1) // block) * block
     if t_pad == t:

@@ -1,10 +1,19 @@
-"""Pallas flash-attention kernel (TPU).
+"""Pallas attention kernels (TPU).
 
-Fused QK^T -> online-softmax -> PV for the encoder hot path (ViT layers are
-where the perception program's FLOPs live). Avoids materializing the
-[B, H, T, T] score matrix in HBM: K/V stream through VMEM in blocks with the
-standard running-max/denominator recurrence, so HBM traffic is O(T*D) and the
-MXU stays busy.
+Fused QK^T -> softmax -> PV for the encoder hot path (ViT layers are where
+the perception program's FLOPs live). Avoids materializing the [B, H, T, T]
+score matrix in HBM — profiled on the ViT-L encode, the XLA einsum path
+spends ~1.5 ms/layer writing+rereading the f32[64,16,257,257] scores.
+
+Two kernels:
+  - single-block (T_pad <= MAX_SINGLE_BLOCK_T): the whole (b, h) attention
+    lives in VMEM; plain (not online) softmax; one grid step per (b, h).
+  - blocked flash: standard running-max/denominator recurrence for long T.
+
+Both keep the MATMUL INPUTS IN BF16 (f32 accumulation via
+preferred_element_type) — an earlier revision cast q/k/v to f32 first,
+which runs the MXU at the f32 rate and doubled VMEM traffic; it measured
+slower than XLA at every size. Softmax statistics stay f32.
 
 Used by models/common.mha when `use_flash()` is on (env ECAP_USE_PALLAS=1)
 and shapes qualify (self-attention, no KV cache, T multiple of the block).
@@ -25,7 +34,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
+MAX_SINGLE_BLOCK_T = 512
 NEG_INF = -1e30
+
+
+def _attn_single_block_kernel(q_ref, k_ref, v_ref, o_ref, *, causal: bool,
+                              sm_scale: float, valid_len: int):
+    # q_ref/k_ref/v_ref/o_ref: [T, d] for one (b, h); everything in VMEM.
+    t, d = q_ref.shape
+    q = q_ref[:]
+    k = k_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale  # [T, T] f32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    if valid_len < t:
+        s = jnp.where(cols < valid_len, s, NEG_INF)
+    if causal:
+        s = jnp.where(rows >= cols, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)
+    o_ref[:] = jnp.dot(p, v_ref[:],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
@@ -35,13 +68,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
     t = k_ref.shape[0]
     q_idx = pl.program_id(1)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q = q_ref[:]  # stays bf16: matmuls accumulate in f32 via
+    # preferred_element_type; only softmax state is f32
 
     def body(ki, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if valid_len < t:
             # padded keys beyond valid_len are masked out
@@ -54,8 +90,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return (acc, m_cur, l_cur)
 
     n_k = t // block_k
@@ -78,17 +115,34 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     pass the true length as static `valid_len` (padded keys are masked;
     padded query rows produce garbage the caller slices off)."""
     b, h, t, d = q.shape
-    block_q = min(block_q, t)
-    block_k = min(block_k, t)
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(d)
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, t, d)
     vf = v.reshape(b * h, t, d)
+    vl = valid_len if valid_len else t
 
+    if t <= MAX_SINGLE_BLOCK_T:
+        kernel = functools.partial(_attn_single_block_kernel, causal=causal,
+                                   sm_scale=sm_scale, valid_len=vl)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * h,),
+            in_specs=[
+                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, t, d)
+
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
     kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal,
-                               sm_scale=sm_scale,
-                               valid_len=valid_len if valid_len else t)
+                               sm_scale=sm_scale, valid_len=vl)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, t // block_q),
