@@ -325,12 +325,20 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     logits = logits.astype(jnp.float32) / math.sqrt(dh)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(compute_dtype),
+    # softmax with the exp'd probabilities STORED in compute dtype and the
+    # normalization folded in after the PV matmul: jax.nn.softmax would
+    # materialize the [B, H, Tq, Tk] tensor in f32 (415 MB/layer at ViT-L
+    # encode shapes — profiled ~1.5 ms/layer of pure HBM traffic); storing
+    # bf16 probabilities halves that. max/denominator stay f32.
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    pexp = jnp.exp(logits - m)
+    denom = jnp.sum(pexp, axis=-1)  # f32 [B, H, Tq] (fuses with the exp)
+    out = jnp.einsum("bhqk,bkhd->bqhd", pexp.astype(compute_dtype),
                      v.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
+    out = out / jnp.moveaxis(denom, 1, 2)[..., None]
     b, tq2, h, d2 = out.shape
-    out = out.reshape(b, tq2, h * d2)
+    out = out.reshape(b, tq2, h * d2).astype(compute_dtype)
     return dense(p["o"], out, compute_dtype), cache
 
 
