@@ -40,25 +40,29 @@ NEG_INF = -1e30
 
 def _attn_single_block_kernel(q_ref, k_ref, v_ref, o_ref, *, causal: bool,
                               sm_scale: float, valid_len: int):
-    # q_ref/k_ref/v_ref/o_ref: [T, d] for one (b, h); everything in VMEM.
-    t, d = q_ref.shape
-    q = q_ref[:]
-    k = k_ref[:]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale  # [T, T] f32
+    # q_ref/k_ref/v_ref/o_ref: [bh_blk, T, d]; everything in VMEM. Multiple
+    # (b, h) pairs per grid step so each DMA moves MBs, not ~100 KB — with
+    # one pair per step the kernel measured DMA-latency-bound (~5 GB/s).
+    bh, t, d = q_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    if valid_len < t:
-        s = jnp.where(cols < valid_len, s, NEG_INF)
-    if causal:
-        s = jnp.where(rows >= cols, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)
-    o_ref[:] = jnp.dot(p, v_ref[:],
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    for i in range(bh):  # static unroll over the block's (b, h) pairs
+        q = q_ref[i]
+        k = k_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [T, T] f32
+        if valid_len < t:
+            s = jnp.where(cols < valid_len, s, NEG_INF)
+        if causal:
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)
+        o_ref[i] = jnp.dot(p, v_ref[i],
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
@@ -122,18 +126,24 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vl = valid_len if valid_len else t
 
     if t <= MAX_SINGLE_BLOCK_T:
+        bh = b * h
+        bh_blk = 1
+        for cand in (16, 8, 4, 2):
+            if bh % cand == 0 and cand * t * d * 2 * 4 <= 8 * 1024 * 1024:
+                bh_blk = cand
+                break
         kernel = functools.partial(_attn_single_block_kernel, causal=causal,
                                    sm_scale=sm_scale, valid_len=vl)
         out = pl.pallas_call(
             kernel,
-            grid=(b * h,),
+            grid=(bh // bh_blk,),
             in_specs=[
-                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bh_blk, t, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bh_blk, t, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bh_blk, t, d), lambda i: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((None, t, d), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            out_specs=pl.BlockSpec((bh_blk, t, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             interpret=interpret,
         )(qf, kf, vf)
         return out.reshape(b, h, t, d)
