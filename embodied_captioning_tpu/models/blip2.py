@@ -106,7 +106,7 @@ def qformer(params: Params, img_feats: jnp.ndarray, cfg: Blip2Config,
     image. Returns [B, Q(+T), width] features."""
     b = img_feats.shape[0]
     x = jnp.broadcast_to(params["queries"][None], (b,) +
-                         params["queries"].shape)
+                         params["queries"].shape).astype(jnp.bfloat16)
     nq = cfg.num_queries
     if text_tokens is not None:
         t = text_tokens.shape[1]

@@ -60,8 +60,17 @@ def _layernorm_ref(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
                    eps: float, out_dtype) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     m1 = jnp.mean(xf, axis=-1, keepdims=True)
-    m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    if x.dtype == jnp.bfloat16:
+        # one-pass E[x^2]-E[x]^2 in f32: for bf16 inputs any cancellation
+        # is below the input's own 8-bit mantissa, and the single fused
+        # reduction saves ~700 small ops per decode batch (measured ~3 fps)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - m1 * m1, 0.0)
+    else:
+        # f32 inputs (e.g. the sbert post-LN path at BERT eps=1e-12) keep
+        # the two-pass form: E[x^2]-E[x]^2 cancels catastrophically for
+        # rows with |mean| >> std, which real BERT hidden states have
+        var = jnp.mean(jnp.square(xf - m1), axis=-1, keepdims=True)
     y = (xf - m1) * jax.lax.rsqrt(var + eps) * g + b
     return y.astype(out_dtype)
 
@@ -82,8 +91,7 @@ def _ln_pallas_bwd(eps, res, dy):
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     m1 = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - m1 * m1, 0.0)
+    var = jnp.var(xf, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     xhat = (xf - m1) * inv
     dxhat = dyf * g.astype(jnp.float32)
@@ -250,29 +258,23 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
                + b3).astype(compute_dtype)
         q, k, v = (_split_heads(t, heads)
                    for t in jnp.split(qkv, 3, axis=-1))
+        kt = None
+    elif kv_precomputed is not None:
+        # precomputed head-major cross K/V (decode loop): shares the
+        # kt-branch attention tail below, including bf16-stored softmax
+        if cache is not None:
+            raise ValueError(
+                "kv_precomputed cannot be combined with a KV cache")
+        q = _split_heads(dense(p["q"], x, compute_dtype), heads)
+        kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
+        k = None
     else:
         q = _split_heads(dense(p["q"], x, compute_dtype), heads)
-        if kv_precomputed is not None:
-            kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
-            dh = q.shape[-1]
-            logits = jnp.einsum("bqhd,bhdk->bhqk", q.astype(compute_dtype),
-                                kt.astype(compute_dtype))
-            logits = logits.astype(jnp.float32) / math.sqrt(dh)
-            if mask is not None:
-                logits = jnp.where(mask, logits, jnp.float32(-1e30))
-            weights = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd",
-                             weights.astype(compute_dtype),
-                             v.astype(compute_dtype),
-                             preferred_element_type=jnp.float32)
-            b, tq2, h, d2 = out.shape
-            out = out.reshape(b, tq2, h * d2)
-            return dense(p["o"], out, compute_dtype), cache
         kv_src = x if kv is None else kv
         k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
         v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
+        kt = None
 
-    kt = None  # head-major [B, H, Dh, Tk] keys (cached decode path)
     if cache is not None:
         tq = q.shape[1]
         old_index = cache.index

@@ -20,9 +20,10 @@ def pallas_enabled() -> bool:
 
 def maybe_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           causal: bool = False) -> Optional[jnp.ndarray]:
-    """[B, H, T, D] attention via the flash kernel if enabled and the shape
-    qualifies; odd sequence lengths are zero-padded to the 128 block with
-    static key masking. None -> caller uses the XLA einsum path."""
+    """[B, H, T, D] attention via the Pallas kernels if enabled and the
+    shape qualifies. T <= 512 runs the single-block kernel directly (any
+    length, no padding); longer T zero-pads to the 128 block with static
+    key masking. None -> caller uses the XLA einsum path."""
     if not pallas_enabled():
         return None
     b, h, t, d = q.shape

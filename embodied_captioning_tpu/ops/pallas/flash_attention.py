@@ -114,10 +114,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False,
                     valid_len: Optional[int] = None) -> jnp.ndarray:
-    """q, k, v: [B, H, T, D] -> [B, H, T, D]. T must divide by the blocks;
-    callers with odd sequence lengths zero-pad to the block multiple and
-    pass the true length as static `valid_len` (padded keys are masked;
-    padded query rows produce garbage the caller slices off)."""
+    """q, k, v: [B, H, T, D] -> [B, H, T, D].
+
+    T <= MAX_SINGLE_BLOCK_T takes the single-block kernel, which accepts
+    ANY T directly (no padding or divisibility requirement). Longer T uses
+    the blocked flash recurrence: there T must divide by the blocks, and
+    callers with odd lengths zero-pad to the block multiple and pass the
+    true length as static `valid_len` (padded keys are masked; padded
+    query rows produce garbage the caller slices off)."""
     b, h, t, d = q.shape
     sm_scale = 1.0 / math.sqrt(d)
     qf = q.reshape(b * h, t, d)
@@ -129,7 +133,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         bh = b * h
         bh_blk = 1
         for cand in (16, 8, 4, 2):
-            if bh % cand == 0 and cand * t * d * 2 * 4 <= 8 * 1024 * 1024:
+            # VMEM budget: 4 io blocks (q/k/v/o, 2 B each) + per-pair
+            # [T,T] f32 score+probability intermediates across the static
+            # unroll (conservatively assume Mosaic does not reuse them)
+            io_bytes = cand * 4 * t * d * 2
+            scratch_bytes = cand * 2 * t * t * 4
+            if bh % cand == 0 and io_bytes + scratch_bytes <= 10 * 1024 * 1024:
                 bh_blk = cand
                 break
         kernel = functools.partial(_attn_single_block_kernel, causal=causal,

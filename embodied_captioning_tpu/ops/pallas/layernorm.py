@@ -26,10 +26,10 @@ DEFAULT_BLOCK_N = 256
 
 def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
     xf = x_ref[:].astype(jnp.float32)           # [block_n, D]
-    d = xf.shape[1]
+    # two-pass mean/var (x stays in VMEM, so the second pass is free);
+    # E[x^2]-E[x]^2 cancels catastrophically for |mean| >> std rows
     m1 = jnp.mean(xf, axis=1, keepdims=True)
-    m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
-    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    var = jnp.mean(jnp.square(xf - m1), axis=1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     y = (xf - m1) * inv * g_ref[:].astype(jnp.float32) + b_ref[:].astype(
         jnp.float32)
