@@ -219,6 +219,14 @@ def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
     k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
     v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
     kt = jnp.transpose(k, (0, 2, 3, 1))  # [B, H, Dh, K]
+    from .quantize import QuantizedArray, int8_kv_enabled, quantize_kv
+
+    if isinstance(p["k"]["w"], QuantizedArray) and int8_kv_enabled():
+        # int8 serving mode extends to the precomputed cross K/V: the
+        # decode loop re-reads every layer's K/V each step, so this halves
+        # the loop's dominant HBM traffic (the bitsandbytes-serving analog
+        # for activations; ECAP_INT8_KV=0 reverts)
+        return quantize_kv(kt, v)
     return kt.astype(compute_dtype), v.astype(compute_dtype)
 
 
@@ -243,6 +251,7 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
 
     Returns (out [B, Tq, D], updated cache or None).
     """
+    kv_scales = None  # (kt_scale, v_scale) when K/V arrive int8-quantized
     # QKV-fusion (3 matmuls -> 1) on the cached decode path: measured a
     # small net negative on this chip (see _FUSE_QKV note), kept opt-in
     # via ECAP_FUSE_QKV=1 for hardware where dispatch dominates harder.
@@ -266,7 +275,14 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
             raise ValueError(
                 "kv_precomputed cannot be combined with a KV cache")
         q = _split_heads(dense(p["q"], x, compute_dtype), heads)
-        kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
+        from .quantize import QuantizedKV
+
+        if isinstance(kv_precomputed, QuantizedKV):
+            kt = kv_precomputed.kt  # int8; converts fuse into the einsums
+            v = kv_precomputed.v
+            kv_scales = (kv_precomputed.kt_scale, kv_precomputed.v_scale)
+        else:
+            kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
         k = None
     else:
         q = _split_heads(dense(p["q"], x, compute_dtype), heads)
@@ -325,6 +341,8 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
                             k.astype(compute_dtype))
     logits = logits.astype(jnp.float32) / math.sqrt(dh)
+    if kv_scales is not None:
+        logits = logits * kv_scales[0][:, :, None, :]
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     # softmax with the exp'd probabilities STORED in compute dtype and the
@@ -338,6 +356,8 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     out = jnp.einsum("bhqk,bkhd->bqhd", pexp.astype(compute_dtype),
                      v.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
+    if kv_scales is not None:
+        out = out * kv_scales[1][:, None, :, :]
     out = out / jnp.moveaxis(denom, 1, 2)[..., None]
     b, tq2, h, d2 = out.shape
     out = out.reshape(b, tq2, h * d2).astype(compute_dtype)

@@ -124,3 +124,52 @@ def quantization_ratio(params: Any) -> float:
         count, params,
         is_leaf=lambda x: isinstance(x, QuantizedArray))
     return q8 / max(total, 1)
+
+
+# ---------------------------------------------------------------------------
+# int8 cross-attention K/V (decode-loop activation quantization)
+# ---------------------------------------------------------------------------
+
+class QuantizedKV(NamedTuple):
+    """Precomputed cross-attention K/V quantized to int8 for the decode
+    loop, where re-reading the K/V of every multimodal layer each step is
+    the dominant HBM traffic (ViT-L large preset: 12 layers x 50 MB x 29
+    steps ~ 17 GB/generation in bf16; int8 halves it).
+
+    Scales are constant along each einsum's CONTRACTED axis so they factor
+    out exactly:
+      kt: int8 [B, H, Dh, K], kt_scale f32 [B, H, K] (per key column —
+          q·K contracts Dh)
+      v:  int8 [B, K, H, Dh], v_scale f32 [B, H, Dh] (per value channel —
+          w·V contracts K)
+    """
+
+    kt: jnp.ndarray
+    kt_scale: jnp.ndarray
+    v: jnp.ndarray
+    v_scale: jnp.ndarray
+
+
+def quantize_kv(kt: jnp.ndarray, v: jnp.ndarray) -> QuantizedKV:
+    """kt [B, H, Dh, K] bf16, v [B, K, H, Dh] bf16 -> QuantizedKV."""
+    kt_f = kt.astype(jnp.float32)
+    amax_k = jnp.max(jnp.abs(kt_f), axis=2)              # [B, H, K]
+    kt_scale = jnp.maximum(amax_k, 1e-8) / 127.0
+    kt_q = jnp.clip(jnp.round(kt_f / kt_scale[:, :, None, :]),
+                    -127, 127).astype(jnp.int8)
+    v_f = v.astype(jnp.float32)
+    amax_v = jnp.max(jnp.abs(v_f), axis=1)               # [B, H, Dh]
+    v_scale = jnp.maximum(amax_v, 1e-8) / 127.0
+    v_q = jnp.clip(jnp.round(v_f / v_scale[:, None, :, :]),
+                   -127, 127).astype(jnp.int8)
+    return QuantizedKV(kt_q, kt_scale, v_q, v_scale)
+
+
+import os as _os
+
+
+def int8_kv_enabled() -> bool:
+    """Cross-KV int8 follows the int8 serving mode (engages only when the
+    layer's projection weights are themselves QuantizedArray); ECAP_INT8_KV=0
+    force-disables."""
+    return _os.environ.get("ECAP_INT8_KV", "1") == "1"

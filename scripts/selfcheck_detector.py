@@ -41,6 +41,8 @@ def main() -> None:
                     help="test on unseen scenes (hard) or held-out frames "
                          "of the training scenes (standard)")
     ap.add_argument("--episodes", type=int, default=6)
+    ap.add_argument("--augment", action="store_true",
+                    help="flip + color-jitter training batches")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -86,10 +88,27 @@ def main() -> None:
             ).astype(np.uint8), scale
         return rgb, 1.0
 
-    def batch_of(frames, idx):
+    def batch_of(frames, idx, augment=False):
         imgs, dets = [], []
         for i in idx:
             rgb, det = frames[i]
+            if augment:
+                # horizontal flip + brightness/color jitter (the detector
+                # dataset family's stacks live in labeling/datasets.py;
+                # here GT masks are full-frame so the flip stays exact)
+                if rng.random() < 0.5:
+                    w = rgb.shape[1]
+                    rgb = np.ascontiguousarray(rgb[:, ::-1])
+                    bx = np.asarray(det.boxes)
+                    flipped = np.stack([w - bx[:, 2], bx[:, 1],
+                                        w - bx[:, 0], bx[:, 3]], axis=1)
+                    det = det.replace(
+                        boxes=jnp.asarray(flipped),
+                        masks=jnp.asarray(np.asarray(det.masks)[:, :, ::-1]))
+                rgb = np.clip(rgb.astype(np.float32)
+                              * rng.uniform(0.75, 1.25)
+                              + rng.uniform(-15, 15, size=(1, 1, 3)),
+                              0, 255).astype(np.uint8)
             rgb2, scale = resize_frame(rgb)
             imgs.append(rgb2)
             dets.append(det.replace(boxes=det.boxes * scale))
@@ -170,7 +189,7 @@ def main() -> None:
     first = last = None
     for s in range(args.steps):
         idx = rng.choice(len(train_frames), args.batch, replace=False)
-        images, gt = batch_of(train_frames, idx)
+        images, gt = batch_of(train_frames, idx, augment=args.augment)
         params, opt_state, loss = step_fn(params, opt_state, images, gt)
         loss = float(loss)
         first = first if first is not None else loss
