@@ -80,3 +80,42 @@ def test_w8a8_toggle(monkeypatch):
     assert not Q.w8a8_enabled()
     monkeypatch.setattr(Q, "_W8A8", True)
     assert Q.w8a8_enabled()
+
+
+def test_quantize_kv_attention_close(rng):
+    """int8 cross-KV attention matches the bf16-KV result closely: scales
+    lie along each einsum's contracted axis so they factor out exactly —
+    only the int8 rounding of K/V remains."""
+    from embodied_captioning_tpu.models.common import mha, mha_init
+    from embodied_captioning_tpu.models.quantize import quantize_kv
+
+    b, h, dh, kl, d = 2, 4, 16, 10, 64
+    p = mha_init(jax.random.PRNGKey(0), d, h)
+    x = jnp.asarray(rng.standard_normal((b, 1, d)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((b, h, dh, kl)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, kl, h, dh)), jnp.bfloat16)
+    out_f, _ = mha(p, x, h, kv_precomputed=(kt, v))
+    out_q, _ = mha(p, x, h, kv_precomputed=quantize_kv(kt, v))
+    a = np.asarray(out_f, np.float32)
+    bq = np.asarray(out_q, np.float32)
+    # int8 K/V rounding is ~0.4% relative; attention keeps it small
+    assert np.max(np.abs(a - bq)) < 0.08, np.max(np.abs(a - bq))
+    # and the quantized buffers really are int8
+    qkv = quantize_kv(kt, v)
+    assert qkv.kt.dtype == jnp.int8 and qkv.v.dtype == jnp.int8
+
+
+def test_int8_kv_engages_only_with_quantized_weights(monkeypatch):
+    from embodied_captioning_tpu.models.common import precompute_kv, mha_init
+    from embodied_captioning_tpu.models.quantize import (
+        QuantizedKV, quantize_params,
+    )
+
+    p = mha_init(jax.random.PRNGKey(0), 64, 4)
+    src = jnp.ones((2, 6, 64), jnp.bfloat16)
+    out = precompute_kv(p, src, 4)
+    assert not isinstance(out, QuantizedKV)  # float weights -> float KV
+    qp = quantize_params(p, min_size=16)
+    assert isinstance(precompute_kv(qp, src, 4), QuantizedKV)
+    monkeypatch.setenv("ECAP_INT8_KV", "0")
+    assert not isinstance(precompute_kv(qp, src, 4), QuantizedKV)
