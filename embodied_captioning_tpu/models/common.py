@@ -105,10 +105,12 @@ def _ln_pallas_bwd(eps, res, dy):
 
 _ln_pallas.defvjp(_ln_pallas_fwd, _ln_pallas_bwd)
 
-# measured neutral in situ on the ViT-L encode (132.9 vs 129-130 ms):
-# XLA's fused LN and the kernel both land at the same effective memory
-# speed for this producer/consumer pattern, so the kernel stays opt-in
-# like the other Pallas paths
+# OPT-IN: the 3D-native kernel is 3.3x faster than XLA's windowed
+# fusions on an ISOLATED LN+residual chain (54 -> 33 ms for 48 LNs at
+# [64,257,1024]) — but default-on it measured 83.2 vs 87.4 fps e2e: the
+# opaque custom call breaks XLA's producer/consumer fusions around each
+# LN, which cost more than the kernel saves. Useful where LN neighbors
+# don't fuse; not in this encoder.
 _PALLAS_LN = _os.environ.get("ECAP_PALLAS_LN", "0") == "1"
 
 
@@ -135,10 +137,11 @@ def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
     """Reductions in f32; output cast back to the input dtype by default so
     bf16 residual streams stay bf16.
 
-    With ECAP_PALLAS_LN=1, large lane-aligned shapes on TPU take a Pallas
-    kernel (ops/pallas/layernorm.py); gradients flow through a custom VJP
-    with the standard LN backward. Measured neutral vs XLA on the ViT-L
-    encode — kept as an opt-in experiment surface."""
+    With ECAP_PALLAS_LN=1, large lane-aligned shapes on TPU take the
+    Pallas kernel (ops/pallas/layernorm.py) via a custom VJP. The 3D-native
+    kernel is 3.3x faster than XLA on an isolated LN chain but loses e2e
+    here because it breaks XLA's surrounding fusions (see _PALLAS_LN note);
+    kept opt-in."""
     out_dtype = out_dtype or x.dtype
     if out_dtype == x.dtype and _ln_kernel_ok(x):
         return _ln_pallas(x, p["g"], p["b"], eps)

@@ -61,10 +61,48 @@ def layernorm_2d(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     )(x, g, b)
 
 
+@functools.partial(jax.jit, static_argnames=("eps", "block_t", "interpret",
+                                             "out_dtype"))
+def layernorm_3d(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                 eps: float = 1e-5, block_t: int = DEFAULT_BLOCK_N,
+                 interpret: bool = False, out_dtype=None) -> jnp.ndarray:
+    """x [B, T, D] (normalize over D) without flattening: reshaping
+    [B, 257, D] to 2D is a PHYSICAL copy on TPU (row-count padding differs),
+    which ate the kernel's whole win when this path reshaped."""
+    bsz, t, d = x.shape
+    out_dtype = out_dtype or x.dtype
+
+    def kernel3(x_ref, g_ref, b_ref, o_ref):
+        xf = x_ref[:].astype(jnp.float32)       # [1, block_t, D]
+        m1 = jnp.mean(xf, axis=2, keepdims=True)
+        var = jnp.mean(jnp.square(xf - m1), axis=2, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        y = (xf - m1) * inv * g_ref[:].astype(jnp.float32) + b_ref[:].astype(
+            jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    grid = (bsz, pl.cdiv(t, block_t))
+    return pl.pallas_call(
+        kernel3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_t, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((d,), lambda i, j: (0,)),
+            pl.BlockSpec((d,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, block_t, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, d), out_dtype),
+        interpret=interpret,
+    )(x, g, b)
+
+
 def layernorm_nd(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
                  eps: float = 1e-5, interpret: bool = False,
                  out_dtype=None) -> jnp.ndarray:
     """Normalize over the last axis of an arbitrary-rank x."""
+    if x.ndim == 3:
+        return layernorm_3d(x, g, b, eps=eps, interpret=interpret,
+                            out_dtype=out_dtype)
     shp = x.shape
     y = layernorm_2d(x.reshape(-1, shp[-1]), g, b, eps=eps,
                      interpret=interpret, out_dtype=out_dtype)
