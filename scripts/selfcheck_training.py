@@ -93,6 +93,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--speculative", action="store_true",
+                    help="also time speculative vs greedy decode on the "
+                         "trained model (exactness + fenced latency)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -165,6 +168,40 @@ def main() -> None:
     from embodied_captioning_tpu.models.quantize import quantize_params
 
     _, acc_q, cos_q, bleu_q = evaluate(quantize_params(state.params))
+
+    spec = {}
+    if args.speculative:
+        # speculative decoding on the TRAINED model: exactness + fenced
+        # timing at small batch (its latency-serving regime) — acceptance
+        # on trained weights is the honest signal (random weights always
+        # reject the layer-skip draft)
+        from embodied_captioning_tpu.models.captioner import (
+            generate_speculative,
+        )
+
+        qp = quantize_params(state.params)
+        for bsz in (1, 4):
+            imgs = jnp.asarray(np.stack(te_crops[:bsz]))
+            tg, _, _ = generate(qp, imgs, jax.random.PRNGKey(1), ccfg)
+            ts_, _ = generate_speculative(qp, imgs, ccfg)
+            exact = bool(np.array_equal(np.asarray(tg), np.asarray(ts_)))
+
+            def fenced_ms(fn, reps=5):
+                _ = float(jnp.sum(fn()))  # warm
+                best = []
+                for _i in range(reps):
+                    t0 = time.time()
+                    _ = float(jnp.sum(fn()))
+                    best.append(time.time() - t0)
+                return 1000.0 * sorted(best)[len(best) // 2]
+
+            g_ms = fenced_ms(
+                lambda: generate(qp, imgs, jax.random.PRNGKey(1), ccfg)[0])
+            s_ms = fenced_ms(lambda: generate_speculative(qp, imgs, ccfg)[0])
+            spec[f"b{bsz}"] = {"exact": exact, "greedy_ms": round(g_ms, 1),
+                               "speculative_ms": round(s_ms, 1),
+                               "speedup": round(g_ms / max(s_ms, 1e-9), 2)}
+
     print(json.dumps({
         "train_crops": len(tr_crops), "test_crops": len(te_crops),
         "first_loss": round(first, 3), "last_loss": round(last, 3),
@@ -174,6 +211,7 @@ def main() -> None:
         "int8_sbert_cosine": round(cos_q, 4), "int8_bleu": round(bleu_q, 4),
         "examples": [{"pred": p, "ref": r}
                      for p, r in list(zip(preds, te_caps))[:4]],
+        **({"speculative": spec} if spec else {}),
     }))
 
 
