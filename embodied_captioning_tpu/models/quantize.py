@@ -165,8 +165,6 @@ def quantize_kv(kt: jnp.ndarray, v: jnp.ndarray) -> QuantizedKV:
     return QuantizedKV(kt_q, kt_scale, v_q, v_scale)
 
 
-import os as _os
-
 
 def int8_kv_enabled() -> bool:
     """Cross-KV int8 follows the int8 serving mode (engages only when the

@@ -80,6 +80,11 @@ def report(trace_dir: str, top: int) -> None:
             tids[(e["pid"], e["tid"])] = e["args"]["name"]
     op_tid = next((t for (p, t), n in tids.items()
                    if p == dev_pid and n == "XLA Ops"), None)
+    if dev_pid is None or op_tid is None:
+        raise SystemExit(
+            f"no TPU 'XLA Ops' lane in the trace (processes: "
+            f"{sorted(set(tids.values()))}) — was the program run on the "
+            f"device? (ECAP_PLATFORM=cpu produces no device lane)")
     rec = {}
     total = 0
     for e in ev:

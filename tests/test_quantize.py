@@ -111,6 +111,7 @@ def test_int8_kv_engages_only_with_quantized_weights(monkeypatch):
         QuantizedKV, quantize_params,
     )
 
+    monkeypatch.delenv("ECAP_INT8_KV", raising=False)  # ambient shell value
     p = mha_init(jax.random.PRNGKey(0), 64, 4)
     src = jnp.ones((2, 6, 64), jnp.bfloat16)
     out = precompute_kv(p, src, 4)
