@@ -202,6 +202,10 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
 # (63.9 vs 64.7 fps at batch 16; 65.4 vs 66.3 at batch 32) — the per-step
 # weight concat/dequant costs more than the saved dispatches — so opt-in
 _FUSE_QKV = _os.environ.get("ECAP_FUSE_QKV", "0") == "1"
+# encoder (uncached self-attention) QKV fusion is a separate knob: there
+# the concat happens once per forward (not once per decode step), and the
+# fused matmul reads the LN output once instead of three times
+_FUSE_QKV_ENC = _os.environ.get("ECAP_FUSE_QKV_ENC", "0") == "1"
 
 
 def _fuse_qkv() -> bool:
@@ -287,6 +291,18 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         else:
             kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
         k = None
+    elif cache is None and kv is None and _FUSE_QKV_ENC:
+        from .quantize import maybe_dequant
+
+        w = jnp.concatenate(
+            [maybe_dequant(p[n]["w"], compute_dtype) for n in "qkv"], axis=1)
+        b3 = jnp.concatenate([p[n]["b"] for n in "qkv"])
+        qkv = (jnp.dot(x.astype(compute_dtype), w,
+                       preferred_element_type=jnp.float32)
+               + b3).astype(compute_dtype)
+        q, k, v = (_split_heads(t, heads)
+                   for t in jnp.split(qkv, 3, axis=-1))
+        kt = None
     else:
         q = _split_heads(dense(p["q"], x, compute_dtype), heads)
         kv_src = x if kv is None else kv
