@@ -114,3 +114,39 @@ def test_base_preset_shapes_compile_free():
     assert out.caption_logprobs.shape == (
         e, n, cfg.captioner.max_caption_len - 1)
     assert out.detections.embeddings.shape == (e, n, 384)
+
+
+def test_large_preset_shapes_compile_free():
+    """Same compile-free regression check at the LARGE preset — the
+    headline-bench configuration (coca_ViT-L-14 dims + int8 serving +
+    caption-slot compaction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from embodied_captioning_tpu.config import load_config
+    from embodied_captioning_tpu.models.quantize import quantize_params
+    from embodied_captioning_tpu.perception import init_perception, perceive
+
+    cfg = load_config("large", overrides=[
+        "runtime.caption_slots_per_frame=4"])
+
+    def init_fn(key):
+        # the bench quantizes for serving; eval_shape covers that path too
+        return quantize_params(init_perception(key, cfg))
+
+    params_shape = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    assert params_shape.captioner["head"]["w"].q.shape == (768, 49408)
+    assert params_shape.captioner["vision"]["patch"]["w"].q.shape == (
+        14 * 14 * 3, 1024)
+
+    e, s = 2, cfg.detector.image_size
+    out = jax.eval_shape(
+        lambda p, im, k: perceive(p, im, k, cfg),
+        params_shape,
+        jax.ShapeDtypeStruct((e, s, s, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    n = cfg.detector.max_detections
+    assert out.detections.boxes.shape == (e, n, 4)
+    assert out.caption_tokens.shape == (e, n, cfg.captioner.max_caption_len)
+    assert out.detections.embeddings.shape == (e, n, 384)
