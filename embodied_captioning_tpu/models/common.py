@@ -63,9 +63,14 @@ def _layernorm_ref(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     if x.dtype == jnp.bfloat16:
         # one-pass E[x^2]-E[x]^2 in f32: for bf16 inputs any cancellation
         # is below the input's own 8-bit mantissa, and the single fused
-        # reduction saves ~700 small ops per decode batch (measured ~3 fps)
+        # reduction saves ~700 small ops per decode batch (measured ~3 fps).
+        # Relative floor: a near-constant row (mean^2/var > f32's 2^24) can
+        # cancel to ~0 and rsqrt(eps) would amplify it ~sqrt(1/eps)x; the
+        # true variance of a bf16-rounded constant row is >= ~(2^-9 m1)^2,
+        # so clamping at m1^2 * 3e-7 only engages below representability
         var = jnp.maximum(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) - m1 * m1, 0.0)
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - m1 * m1,
+            m1 * m1 * 3e-7)
     else:
         # f32 inputs (e.g. the sbert post-LN path at BERT eps=1e-12) keep
         # the two-pass form: E[x^2]-E[x]^2 cancels catastrophically for
@@ -105,18 +110,19 @@ def _ln_pallas_bwd(eps, res, dy):
 
 _ln_pallas.defvjp(_ln_pallas_fwd, _ln_pallas_bwd)
 
-# OPT-IN: the 3D-native kernel is 3.3x faster than XLA's windowed
-# fusions on an ISOLATED LN+residual chain (54 -> 33 ms for 48 LNs at
-# [64,257,1024]) — but default-on it measured 83.2 vs 87.4 fps e2e: the
-# opaque custom call breaks XLA's producer/consumer fusions around each
-# LN, which cost more than the kernel saves. Useful where LN neighbors
-# don't fuse; not in this encoder.
-_PALLAS_LN = _os.environ.get("ECAP_PALLAS_LN", "0") == "1"
+# OPT-IN (ECAP_PALLAS_LN=1, read lazily): the 3D-native kernel is 3.3x
+# faster than XLA's windowed fusions on an ISOLATED LN+residual chain
+# (54 -> 33 ms for 48 LNs at [64,257,1024]) — but default-on it measured
+# 83.2 vs 87.4 fps e2e: the opaque custom call breaks XLA's
+# producer/consumer fusions around each LN, which cost more than the
+# kernel saves. Useful where LN neighbors don't fuse; not in this encoder.
+def _pallas_ln() -> bool:
+    return _os.environ.get("ECAP_PALLAS_LN", "0") == "1"
 
 
 def _ln_kernel_ok(x: jnp.ndarray) -> bool:
     """Kernel path: TPU backend, lane-aligned width, enough rows to win."""
-    if not _PALLAS_LN or x.ndim < 2:
+    if not _pallas_ln() or x.ndim < 2:
         return False
     d = x.shape[-1]
     n = 1
@@ -200,16 +206,18 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
 
 # measured on the large-preset decode: fusion was a small net NEGATIVE
 # (63.9 vs 64.7 fps at batch 16; 65.4 vs 66.3 at batch 32) — the per-step
-# weight concat/dequant costs more than the saved dispatches — so opt-in
-_FUSE_QKV = _os.environ.get("ECAP_FUSE_QKV", "0") == "1"
-# encoder (uncached self-attention) QKV fusion is a separate knob: there
-# the concat happens once per forward (not once per decode step), and the
-# fused matmul reads the LN output once instead of three times
-_FUSE_QKV_ENC = _os.environ.get("ECAP_FUSE_QKV_ENC", "0") == "1"
-
-
+# weight concat/dequant costs more than the saved dispatches — so opt-in.
+# All ECAP_* toggles read the env lazily (like quantize.int8_kv_enabled) so
+# tests can monkeypatch them uniformly.
 def _fuse_qkv() -> bool:
-    return _FUSE_QKV
+    return _os.environ.get("ECAP_FUSE_QKV", "0") == "1"
+
+
+def _fuse_qkv_enc() -> bool:
+    """Encoder (uncached self-attention) QKV fusion is a separate knob:
+    there the concat happens once per forward (not once per decode step),
+    and the fused matmul reads the LN output once instead of three times."""
+    return _os.environ.get("ECAP_FUSE_QKV_ENC", "0") == "1"
 
 
 def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
@@ -291,7 +299,7 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         else:
             kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
         k = None
-    elif cache is None and kv is None and _FUSE_QKV_ENC:
+    elif cache is None and kv is None and _fuse_qkv_enc():
         from .quantize import maybe_dequant
 
         w = jnp.concatenate(
@@ -370,8 +378,10 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     # encode shapes — profiled ~1.5 ms/layer of pure HBM traffic); storing
     # bf16 probabilities halves that. max/denominator stay f32.
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    pexp = jnp.exp(logits - m)
-    denom = jnp.sum(pexp, axis=-1)  # f32 [B, H, Tq] (fuses with the exp)
+    pexp = jnp.exp(logits - m).astype(compute_dtype)
+    # denominator sums the SAME rounded probabilities the PV numerator uses
+    # (f32 accumulation), so rows still sum to exactly 1 in bf16 mode
+    denom = jnp.sum(pexp.astype(jnp.float32), axis=-1)  # f32 [B, H, Tq]
     out = jnp.einsum("bhqk,bkhd->bqhd", pexp.astype(compute_dtype),
                      v.astype(compute_dtype),
                      preferred_element_type=jnp.float32)

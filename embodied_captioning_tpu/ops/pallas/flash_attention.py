@@ -133,10 +133,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         bh = b * h
         bh_blk = 1
         for cand in (16, 8, 4, 2):
-            # VMEM budget: 4 io blocks (q/k/v/o, 2 B each) + per-pair
+            # VMEM budget: 4 io blocks (q/k/v/o at the input itemsize —
+            # callers may pass f32, doubling the footprint) + per-pair
             # [T,T] f32 score+probability intermediates across the static
             # unroll (conservatively assume Mosaic does not reuse them)
-            io_bytes = cand * 4 * t * d * 2
+            io_bytes = cand * 4 * t * d * q.dtype.itemsize
             scratch_bytes = cand * 2 * t * t * 4
             if bh % cand == 0 and io_bytes + scratch_bytes <= 10 * 1024 * 1024:
                 bh_blk = cand

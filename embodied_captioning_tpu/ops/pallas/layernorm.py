@@ -5,9 +5,9 @@ fusion costing ~1.5 ms — XLA fuses the residual-stream materialization into
 the reduction fusion, and lane-axis (minor-dim) reductions run at ~93 GB/s
 on this chip (measured, scripts/probe_bw-style), dragging the whole fused
 traffic to reduce speed. A dedicated kernel reads each row block into VMEM
-once, computes one-pass E[x]/E[x^2] statistics in registers, and writes the
-normalized bf16 output — HBM traffic is exactly read+write at streaming
-speed.
+once, computes two-pass mean / (x-mean)^2 statistics there (the second pass
+re-reads VMEM, not HBM, so it is free), and writes the normalized bf16
+output — HBM traffic is exactly read+write at streaming speed.
 
 Gated by D (the normalized axis) being lane-aligned; everything else falls
 back to the jnp implementation in models/common.layernorm.
