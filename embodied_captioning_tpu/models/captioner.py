@@ -207,7 +207,7 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
         precompute_kv(blk["xattn"], pooled, t.heads)
         for blk in params["mm_blocks"])
 
-    def step(carry, pos):
+    def live_step(carry, pos):
         tok, finished, tc, mc, key = carry
         logits, tc, mc = _decode_step(params, tok, pos, cross_kvs, tc, mc,
                                       cfg)
@@ -221,6 +221,27 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             out = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         return (nxt, finished, tc, mc, key), (nxt, out)
+
+    if full_logits:
+        step = live_step  # parity/debug path: emit real logits at every step
+    else:
+        def step(carry, pos):
+            # all-finished early exit: once every row emitted EOS the
+            # remaining scan iterations take the trivial branch (one scalar
+            # predicate on device) instead of a full decoder step — the
+            # padded 30-token decode stops costing max_len-1 steps on real,
+            # short captions. Visible outputs are unchanged: finished rows
+            # emit PAD either way (their log-prob entries are PAD-masked by
+            # every consumer), and the guard only engages when ALL rows are
+            # finished.
+            def dead(c):
+                tok, finished, tc, mc, key = c
+                pad = jnp.full((b,), PAD_ID, jnp.int32)
+                return ((pad, finished, tc, mc, key),
+                        (pad, jnp.zeros((b,), jnp.float32)))
+
+            return jax.lax.cond(jnp.all(carry[1]), dead,
+                                lambda c: live_step(c, pos), carry)
 
     tok0 = jnp.full((b,), BOS_ID, jnp.int32)
     fin0 = jnp.zeros((b,), bool)

@@ -35,7 +35,7 @@ from .models import detector as DET
 from .models import sbert as SB
 from .models.tokenizer import Tokenizer, default_tokenizer
 from .ops.detections import Detections, expand_boxes
-from .ops.image import crop_and_resize
+from .ops.image import crop_and_resize, resize_bilinear
 
 CROP_EXPAND = 0.2  # ref: detector/pseudolabeler.py:653-672
 
@@ -71,15 +71,31 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
     above-threshold detections (typically 1-4 per frame at Mask2Former
     threshold 0.9; its bbsf sensor caps at 10, ref: envs/sensors.py:54-98),
     while our Detections struct pads to max_detections. When
-    `runtime.caption_slots_per_frame` > 0, only the E*slots highest-scored
-    detection slots across the batch are cropped/captioned/embedded (static
-    shapes: a top-k gather), cutting ViT+decode FLOPs by N/slots without
-    changing the detection output; uncaptioned slots get zero embeddings.
-    0 captions every slot (the padded worst case)."""
+    `runtime.caption_slots_per_frame` > 0, the `slots` highest-scored
+    detection slots OF EACH FRAME are cropped/captioned/embedded (static
+    shapes: a per-row top-k gather — matching the reference's per-frame
+    "caption every above-threshold detection" semantics,
+    ref: goal_exploration.py:77-144), cutting ViT+decode FLOPs by N/slots
+    without changing the detection output; uncaptioned slots get zero
+    embeddings. 0 captions every slot (the padded worst case)."""
     e = images_u8.shape[0]
-    det = DET.forward(params.detector, images_u8, cfg.detector)
     size = cfg.detector.image_size
-    fmasks = DET.full_masks(det, size)  # [E, N, S, S]
+    src = images_u8.shape[1]
+    if src != size:
+        # on-device sensor->detector preprocess (separable-matmul bilinear):
+        # the reference runs the HF processor's 1280^2 resize on host CPU
+        # (ref: predictor_utils.py:308-379); here the full-res frame stays
+        # on device and only the detector sees the downscale — caption
+        # crops below are taken from the ORIGINAL sensor frame
+        det_in = jnp.clip(resize_bilinear(
+            images_u8.astype(jnp.float32), size, size), 0, 255
+        ).astype(jnp.uint8)
+    else:
+        det_in = images_u8
+    det = DET.forward(params.detector, det_in, cfg.detector)
+    # full-frame masks at paste_size (boxes live in detector pixel space)
+    paste = cfg.detector.paste_size or size
+    fmasks = DET.full_masks(det, paste, size)  # [E, N, paste, paste]
     det = det.replace(masks=fmasks)
 
     n = det.capacity
@@ -87,11 +103,14 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
     c = e * spf if 0 < spf < n else e * n  # captioned crop count (static)
 
     boxes = expand_boxes(det.boxes, CROP_EXPAND, size, size)
+    boxes = boxes * (src / size)  # crop coords in sensor pixel space
     crop_size = cfg.captioner.vision.image_size
 
     if c < e * n:
-        flat_scores = (det.scores * det.valid).reshape(e * n)
-        _, sel = jax.lax.top_k(flat_scores, c)      # [C] flat slot indices
+        # per-frame top-k (NOT batch-global): a crowded frame must not
+        # starve other frames' detections of captions
+        _, sel_n = jax.lax.top_k(det.scores * det.valid, spf)  # [E, spf]
+        sel = (jnp.arange(e)[:, None] * n + sel_n).reshape(c)  # flat indices
         boxes_flat = boxes.reshape(e * n, 4)[sel]   # [C, 4]
         img_idx = sel // n                          # [C]
 
@@ -180,17 +199,19 @@ class Perceiver:
         self._rng = jax.random.PRNGKey(seed + 1)
 
     def process(self, images_u8: np.ndarray) -> FrameResult:
+        """Square [.., H, H, 3] uint8 frames at ANY resolution: `perceive`
+        resizes to the detector input on device and crops captions from the
+        original frame. Non-square input is squared here first."""
         self._rng, sub = jax.random.split(self._rng)
         images = jnp.asarray(images_u8)
         if images.ndim == 3:
             images = images[None]
-        size = self.cfg.detector.image_size
-        if images.shape[1] != size or images.shape[2] != size:
-            from .ops.image import resize_bilinear
+        if images.shape[1] != images.shape[2]:
+            from .ops.image import resize_bilinear as _rs
 
-            images = jnp.clip(resize_bilinear(
-                images.astype(jnp.float32), size, size), 0, 255
-            ).astype(jnp.uint8)
+            side = max(images.shape[1], images.shape[2])
+            images = jnp.clip(_rs(images.astype(jnp.float32), side, side),
+                              0, 255).astype(jnp.uint8)
         return perceive(self.params, images, sub, self.cfg)
 
     def captions(self, result: FrameResult) -> list:

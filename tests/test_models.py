@@ -55,6 +55,24 @@ def test_generate_shapes_and_determinism(cap_params, rng):
     assert (ppl > 0).all() and np.isfinite(ppl).all()
 
 
+def test_generate_eos_early_exit(cap_params, rng):
+    """When every row finishes, the scan's dead branch must still produce
+    the contract outputs: PAD after EOS, PAD-masked log-probs, finite
+    perplexity. Forcing EOS to dominate the head triggers it at step 1."""
+    imgs = _images(rng)
+    forced = dict(cap_params)
+    head = dict(cap_params["head"])
+    head["b"] = head["b"].at[T.EOS_ID].set(1e4)
+    forced["head"] = head
+    toks, logp, lengths = generate(forced, imgs, jax.random.PRNGKey(0), CFG)
+    t = np.asarray(toks)
+    assert (t[:, 1] == T.EOS_ID).all()
+    assert (t[:, 2:] == T.PAD_ID).all()
+    assert (np.asarray(lengths) == 2).all()
+    ppl = np.asarray(perplexity(logp, toks))
+    assert np.isfinite(ppl).all() and (ppl > 0).all()
+
+
 def test_generate_matches_uncached_forward(cap_params, rng):
     """KV-cached decode must agree with the full (uncached) forward pass:
     teacher-forcing the generated tokens reproduces the same step logits."""
