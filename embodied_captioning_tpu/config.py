@@ -159,12 +159,29 @@ class SentenceEncoderConfig:
 class DetectorConfig:
     """FPN + RPN + ROI instance segmenter, fixed-shape XLA design
     (replaces detectron2 Mask R-CNN / HF Mask2Former,
-    ref: utils/predictor_utils.py:210-379)."""
+    ref: utils/predictor_utils.py:210-379).
+
+    `block` selects the residual block family: "basic" (two 3x3 convs, the
+    small presets) or "bottleneck" (1x1-3x3-1x1 with 4x expansion — the
+    ResNet-50-class backbone of the `large` preset). `min_level` drops FPN
+    levels finer than stride 4*2^min_level: at reference resolution the
+    stride-4 P2 RPN/FPN convs alone cost ~250 GFLOP/frame for features the
+    6-class indoor workload doesn't need (the reference's own Mask2Former
+    consumes stride >= 8 features in its transformer decoder); ROI pooling
+    uses the finest *included* level. `add_p6` appends a stride-64 anchor
+    level (maxpool of the top map, detectron2 LastLevelMaxPool semantics).
+    `paste_size` renders full-frame masks at a reduced resolution
+    (0 = image_size): mask *pixels* at 1280^2 x 16 slots are ~100 MB/frame
+    of pure HBM writes; consumers (voxel fusion) sample them at map
+    resolution anyway."""
 
     image_size: int = 256  # square input to the detector
     backbone_width: int = 64
     backbone_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    block: str = "basic"  # basic | bottleneck
     fpn_dim: int = 128
+    min_level: int = 0    # 0 = P2 (stride 4) is the finest FPN level
+    add_p6: bool = False  # extra stride-64 RPN level
     num_classes: int = NUM_CLASSES
     pre_nms_topk: int = 256
     num_proposals: int = 64  # rois pooled after RPN top-k
@@ -172,15 +189,35 @@ class DetectorConfig:
     roi_size: int = 7
     mask_roi_size: int = 14
     mask_size: int = 28
+    paste_size: int = 0   # full-frame mask paste resolution (0 = image_size)
     score_threshold: float = 0.5
     nms_iou_threshold: float = 0.5
     dtype: str = "bfloat16"
+
+    @property
+    def fpn_strides(self) -> Tuple[int, ...]:
+        s = tuple(4 * (2 ** i) for i in range(self.min_level, 4))
+        return s + (64,) if self.add_p6 else s
 
     @staticmethod
     def tiny() -> "DetectorConfig":
         return DetectorConfig(
             image_size=64, backbone_width=16, backbone_depths=(1, 1, 1, 1),
             fpn_dim=32, pre_nms_topk=64, num_proposals=16, max_detections=8,
+        )
+
+    @staticmethod
+    def large() -> "DetectorConfig":
+        """Reference-scale runtime detector: >= 1024^2 input on a
+        ResNet-50-class bottleneck backbone with FPN P3-P6 — the operating
+        point of the reference's Mask2Former-Swin-L at 1280^2
+        (ref: utils/predictor_utils.py:210-240,308-379,
+        confs/habitat/gibson_goal_exploration.yaml:96-116)."""
+        return DetectorConfig(
+            image_size=1024, backbone_width=64,
+            backbone_depths=(3, 4, 6, 3), block="bottleneck", fpn_dim=256,
+            min_level=1, add_p6=True, pre_nms_topk=1024, num_proposals=128,
+            max_detections=16, paste_size=256,
         )
 
 
@@ -292,7 +329,13 @@ class ExperimentConfig:
                 # all-MiniLM-L6-v2 checkpoints drop in exactly
                 sentence_encoder=SentenceEncoderConfig(
                     vocab_size=CLIP_VOCAB_SIZE, post_ln=True),
-                detector=DetectorConfig(),
+                # large = the full reference workload: 1280^2 RGB-D sensors
+                # (ref: gibson_goal_exploration.yaml:96-116) feeding a
+                # reference-scale R50-class detector at 1024^2
+                detector=(DetectorConfig() if name == "base"
+                          else DetectorConfig.large()),
+                sensors=(SensorConfig() if name == "base"
+                         else SensorConfig(height=1280, width=1280)),
                 map=MapConfig(),
             )
         raise ValueError(f"unknown preset {name!r}")

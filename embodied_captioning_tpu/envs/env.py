@@ -28,6 +28,22 @@ from ..ops.detections import Detections
 from .sim import ACTION_FORWARD, RaycastSim
 
 
+def _match_raster(depth: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Subsample sensor-resolution depth to the detection-mask raster (the
+    large preset pastes masks at cfg.detector.paste_size < sensor size;
+    voxel fusion needs the two aligned). Exact stride subsample when the
+    ratio is integral — bilinear would average across depth discontinuities
+    and invent phantom 3D points."""
+    if depth.shape[-1] == masks.shape[-1]:
+        return depth
+    stride = depth.shape[-1] // masks.shape[-1]
+    if stride * masks.shape[-1] == depth.shape[-1]:
+        return depth[::stride, ::stride]
+    from ..ops.image import resize_bilinear
+
+    return resize_bilinear(depth, masks.shape[-2], masks.shape[-1])
+
+
 class EmbodiedEnv:
     """One environment = one scene + one agent + one device voxel map."""
 
@@ -116,6 +132,7 @@ class EmbodiedEnv:
         emb = detections.embeddings
         if emb is None:
             emb = jnp.zeros((detections.capacity, self.cfg.map.embed_dim))
+        depth = _match_raster(depth, detections.masks)
         self.map_state = V.integrate_frame(
             self.map_state, depth, pose, detections.masks,
             detections.classes, detections.logits, emb, detections.valid,
@@ -136,6 +153,7 @@ class EmbodiedEnv:
 
     def get_kl_reward(self, detections: Detections, depth, pose) -> float:
         """Entropy-style variant (ref: env_semantic_disagreement_kl.py)."""
+        depth = _match_raster(depth, detections.masks)
         kls = V.kl_score(self.map_state, depth, pose, detections.masks,
                          detections.logits, detections.valid, self.cfg.map,
                          hfov_deg=self.cfg.sensors.hfov_deg)

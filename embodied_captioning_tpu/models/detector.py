@@ -55,16 +55,19 @@ def conv_init(key, k: int, c_in: int, c_out: int) -> Params:
 
 def conv(p: Params, x: jnp.ndarray, stride: int = 1,
          compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    # bf16 in / bf16 out (MXU accumulates f32 internally); upcast after —
-    # mixed-dtype operands with preferred_element_type break the conv
-    # transpose rule, so the cast is explicit
+    # bf16 in / bf16 out (MXU accumulates f32 internally): the feature
+    # stream between convs stays bf16, halving the backbone's HBM traffic —
+    # decisive at the 1024^2+ reference resolution where activations are
+    # hundreds of MB. Bias is added in f32, then the result is cast back.
+    # Mixed-dtype operands with preferred_element_type break the conv
+    # transpose rule, so the casts are explicit.
     from .quantize import maybe_dequant
 
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), maybe_dequant(p["w"], compute_dtype),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y.astype(jnp.float32) + p["b"]
+    return (y.astype(jnp.float32) + p["b"]).astype(compute_dtype)
 
 
 def gn_init(c: int) -> Params:
@@ -73,13 +76,15 @@ def gn_init(c: int) -> Params:
 
 def groupnorm(p: Params, x: jnp.ndarray, groups: int = 8,
               eps: float = 1e-5) -> jnp.ndarray:
+    """Stats in f32; output back in the input dtype (bf16 stream)."""
+    in_dtype = x.dtype
     n, h, w, c = x.shape
     g = min(groups, c)
     x = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
     mean = jnp.mean(x, axis=(1, 2, 4), keepdims=True)
     var = jnp.var(x, axis=(1, 2, 4), keepdims=True)
     x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x.reshape(n, h, w, c) * p["g"] + p["b"]
+    return (x.reshape(n, h, w, c) * p["g"] + p["b"]).astype(in_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -89,37 +94,54 @@ def groupnorm(p: Params, x: jnp.ndarray, groups: int = 8,
 ANCHOR_RATIOS = (0.5, 1.0, 2.0)
 ANCHOR_SCALES = (2.0, 4.0, 8.0)  # x stride
 NUM_ANCHORS = len(ANCHOR_RATIOS) * len(ANCHOR_SCALES)
-FPN_STRIDES = (4, 8, 16, 32)
 
 
 def init_detector(key, cfg: DetectorConfig) -> Params:
     w = cfg.backbone_width
-    widths = [w, 2 * w, 4 * w, 8 * w]
-    ks = iter(jax.random.split(key, 64))
+    bottleneck = cfg.block == "bottleneck"
+    expansion = 4 if bottleneck else 1
+    mids = [w, 2 * w, 4 * w, 8 * w]
+    widths = [m * expansion for m in mids]
+    ks = iter(jax.random.split(key, 256))
     params: Params = {"stem": conv_init(next(ks), 3, 3, w),
                       "stem_gn": gn_init(w)}
-    # residual stages
+    # residual stages (basic: 3x3-3x3; bottleneck: 1x1-3x3-1x1 with 4x
+    # expansion — the ResNet-50 family for the reference-scale preset)
     stages = []
     c_in = w
-    for si, (depth, c_out) in enumerate(zip(cfg.backbone_depths, widths)):
+    for si, depth in enumerate(cfg.backbone_depths):
+        c_out, mid = widths[si], mids[si]
         blocks = []
         for bi in range(depth):
-            blocks.append({
-                "c1": conv_init(next(ks), 3, c_in if bi == 0 else c_out, c_out),
-                "g1": gn_init(c_out),
-                "c2": conv_init(next(ks), 3, c_out, c_out),
-                "g2": gn_init(c_out),
-                "sc": (conv_init(next(ks), 1, c_in if bi == 0 else c_out,
-                                 c_out) if (bi == 0 and c_in != c_out)
-                       else None),
-            })
+            b_in = c_in if bi == 0 else c_out
+            if bottleneck:
+                blocks.append({
+                    "c1": conv_init(next(ks), 1, b_in, mid),
+                    "g1": gn_init(mid),
+                    "c2": conv_init(next(ks), 3, mid, mid),
+                    "g2": gn_init(mid),
+                    "c3": conv_init(next(ks), 1, mid, c_out),
+                    "g3": gn_init(c_out),
+                    "sc": (conv_init(next(ks), 1, b_in, c_out)
+                           if bi == 0 else None),
+                })
+            else:
+                blocks.append({
+                    "c1": conv_init(next(ks), 3, b_in, c_out),
+                    "g1": gn_init(c_out),
+                    "c2": conv_init(next(ks), 3, c_out, c_out),
+                    "g2": gn_init(c_out),
+                    "sc": (conv_init(next(ks), 1, b_in, c_out)
+                           if (bi == 0 and c_in != c_out) else None),
+                })
         stages.append(blocks)
         c_in = c_out
     params["stages"] = stages
-    # FPN
+    # FPN over the included levels only (min_level drops finer ones)
     d = cfg.fpn_dim
-    params["fpn_lat"] = [conv_init(next(ks), 1, c, d) for c in widths]
-    params["fpn_out"] = [conv_init(next(ks), 3, d, d) for _ in widths]
+    fpn_widths = widths[cfg.min_level:]
+    params["fpn_lat"] = [conv_init(next(ks), 1, c, d) for c in fpn_widths]
+    params["fpn_out"] = [conv_init(next(ks), 3, d, d) for _ in fpn_widths]
     # RPN (shared across levels)
     params["rpn_conv"] = conv_init(next(ks), 3, d, d)
     params["rpn_obj"] = conv_init(next(ks), 1, d, NUM_ANCHORS)
@@ -149,37 +171,56 @@ def init_detector(key, cfg: DetectorConfig) -> Params:
 def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
                  ) -> List[jnp.ndarray]:
     """float images [B, S, S, 3] (0..1, normalized outside) -> FPN levels
-    P2..P5 at strides 4/8/16/32, each [B, S/s, S/s, fpn_dim]."""
+    at `cfg.fpn_strides`, each [B, S/s, S/s, fpn_dim]. The finest returned
+    level (index 0) is where ROI pooling happens."""
     x = jax.nn.relu(groupnorm(params["stem_gn"],
                               conv(params["stem"], images, stride=2)))
     # stride-2 max pool so stage outputs sit at strides 4/8/16/32 (matching
-    # FPN_STRIDES and the anchor grid)
-    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+    # the anchor grid)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    x = jax.lax.reduce_window(x, neg, jax.lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), "SAME")
     feats = []
     for si, blocks in enumerate(params["stages"]):
         for bi, blk in enumerate(blocks):
             stride = 2 if (bi == 0 and si > 0) else 1
-            h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x,
-                                                      stride=stride)))
-            h = groupnorm(blk["g2"], conv(blk["c2"], h))
-            if stride == 2 or blk["sc"] is not None:
-                sc = x if blk["sc"] is None else conv(blk["sc"], x)
-                if stride == 2:
-                    sc = sc[:, ::2, ::2, :]
-            else:
-                sc = x
+            if "c3" in blk:  # bottleneck: 1x1 reduce, 3x3 (strided), 1x1
+                h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x)))
+                h = jax.nn.relu(groupnorm(blk["g2"], conv(blk["c2"], h,
+                                                          stride=stride)))
+                h = groupnorm(blk["g3"], conv(blk["c3"], h))
+                # stage starts always project (channels change)
+                if blk["sc"] is not None:
+                    sc = conv(blk["sc"], x, stride=stride)
+                elif stride == 2:
+                    sc = x[:, ::2, ::2, :]
+                else:
+                    sc = x
+            else:  # basic: 3x3 (strided) + 3x3
+                h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x,
+                                                          stride=stride)))
+                h = groupnorm(blk["g2"], conv(blk["c2"], h))
+                if stride == 2 or blk["sc"] is not None:
+                    sc = x if blk["sc"] is None else conv(blk["sc"], x)
+                    if stride == 2:
+                        sc = sc[:, ::2, ::2, :]
+                else:
+                    sc = x
             x = jax.nn.relu(h + sc)
         feats.append(x)
+    feats = feats[cfg.min_level:]
     # top-down FPN
     lats = [conv(l, f) for l, f in zip(params["fpn_lat"], feats)]
-    outs = [None] * len(lats)
+    outs: List[jnp.ndarray] = [None] * len(lats)
     prev = lats[-1]
     outs[-1] = conv(params["fpn_out"][-1], prev)
     for i in range(len(lats) - 2, -1, -1):
         up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
         prev = lats[i] + up
         outs[i] = conv(params["fpn_out"][i], prev)
+    if cfg.add_p6:  # stride-64 RPN level (detectron2 LastLevelMaxPool)
+        outs.append(jax.lax.reduce_window(
+            outs[-1], neg, jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1), "SAME"))
     return outs
 
 
@@ -205,9 +246,9 @@ def level_anchors(size: int, stride: int) -> jnp.ndarray:
     return jnp.stack(anchors, axis=2).reshape(-1, 4)
 
 
-def all_anchors(size: int) -> jnp.ndarray:
-    return jnp.concatenate([level_anchors(size, s) for s in FPN_STRIDES],
-                           axis=0)
+def all_anchors(size: int, strides: Tuple[int, ...] = (4, 8, 16, 32)
+                ) -> jnp.ndarray:
+    return jnp.concatenate([level_anchors(size, s) for s in strides], axis=0)
 
 
 # detectron2's Box2BoxTransform weights: the ROI stage scales its regression
@@ -293,11 +334,12 @@ def _propose(obj: jnp.ndarray, deltas: jnp.ndarray, anchors: jnp.ndarray,
     return props, keep_ok & wh_ok
 
 
-def _box_head(params: Params, fpn_p2: jnp.ndarray, proposals: jnp.ndarray,
+def _box_head(params: Params, feat: jnp.ndarray, proposals: jnp.ndarray,
               cfg: DetectorConfig, dropout_rng=None, dropout_rate: float = 0.0):
-    """ROI-align on P2 + 2-FC head -> (features, class logits, box deltas)."""
-    feats = roi_align(fpn_p2, proposals, cfg.roi_size,
-                      spatial_scale=1.0 / FPN_STRIDES[0])
+    """ROI-align on the finest FPN level + 2-FC head -> (features, class
+    logits, box deltas)."""
+    feats = roi_align(feat, proposals, cfg.roi_size,
+                      spatial_scale=1.0 / cfg.fpn_strides[0])
     x = feats.reshape(proposals.shape[0], -1)
     x = jax.nn.relu(dense(params["box_fc1"], x))
     if dropout_rng is not None and dropout_rate > 0:
@@ -329,11 +371,11 @@ def project_features(params: Params, roi_features: jnp.ndarray) -> jnp.ndarray:
     return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
 
 
-def _mask_head(params: Params, fpn_p2: jnp.ndarray, boxes: jnp.ndarray,
+def _mask_head(params: Params, feat: jnp.ndarray, boxes: jnp.ndarray,
                classes: jnp.ndarray, cfg: DetectorConfig) -> jnp.ndarray:
     """[N, mask_size, mask_size] logits for the predicted class."""
-    x = roi_align(fpn_p2, boxes, cfg.mask_roi_size,
-                  spatial_scale=1.0 / FPN_STRIDES[0])
+    x = roi_align(feat, boxes, cfg.mask_roi_size,
+                  spatial_scale=1.0 / cfg.fpn_strides[0])
     for cv, gn in zip(params["mask_convs"], params["mask_gns"]):
         x = jax.nn.relu(groupnorm(gn, conv(cv, x)))
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # 14 -> 28
@@ -350,7 +392,7 @@ def _intermediates(params: Params, images: jnp.ndarray, cfg: DetectorConfig,
                    ) -> DetectorIntermediates:
     fpn = backbone_fpn(params, images, cfg)
     obj, deltas = _rpn_head(params, fpn)
-    anchors = all_anchors(cfg.image_size)
+    anchors = all_anchors(cfg.image_size, cfg.fpn_strides)
     props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
         obj, deltas)
     if gt_boxes is not None:
@@ -441,9 +483,15 @@ def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
                               inter.box_deltas)
 
 
-def full_masks(det: Detections, size: int) -> jnp.ndarray:
-    """Paste per-detection ROI masks to full frame [B, N, S, S]."""
-    return jax.vmap(lambda m, b: paste_masks(m, b, size, size))(
+def full_masks(det: Detections, size: int, src_size: int = 0) -> jnp.ndarray:
+    """Paste per-detection ROI masks to full frame [B, N, size, size].
+
+    `src_size` is the pixel space the boxes live in (the detector input
+    size); when it differs from `size` the boxes are rescaled, so the large
+    preset can paste its 1024^2-space detections at a cheaper raster
+    (cfg.paste_size) — mask probabilities are resolution-independent."""
+    scale = size / (src_size or size)
+    return jax.vmap(lambda m, b: paste_masks(m, b * scale, size, size))(
         det.masks, det.boxes)
 
 
@@ -457,7 +505,7 @@ def forward_mc(params: Params, images_u8: jnp.ndarray, rng, cfg: DetectorConfig,
     images = images_u8.astype(jnp.float32) / 255.0
     fpn = backbone_fpn(params, images, cfg)
     obj, deltas = _rpn_head(params, fpn)
-    anchors = all_anchors(cfg.image_size)
+    anchors = all_anchors(cfg.image_size, cfg.fpn_strides)
     props, pvalid = jax.vmap(lambda o, d: _propose(o, d, anchors, cfg))(
         obj, deltas)
 
@@ -505,7 +553,7 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
     images = images_u8.astype(jnp.float32) / 255.0
     inter = _intermediates(params, images, cfg, dropout_rng, dropout_rate,
                            gt_boxes=gt.boxes, gt_valid=gt.valid)
-    anchors = all_anchors(cfg.image_size)
+    anchors = all_anchors(cfg.image_size, cfg.fpn_strides)
     b = images.shape[0]
     with_masks = gt.masks is not None
 

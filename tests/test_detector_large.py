@@ -1,0 +1,111 @@
+"""Reference-scale detector code paths (bottleneck backbone, min_level,
+P6 anchors, reduced-resolution mask paste) exercised at tiny dims on CPU —
+the large preset itself only differs by widths/sizes (static shapes), which
+`test_large_preset_shapes_compile_free` checks without compiling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from embodied_captioning_tpu.config import DetectorConfig, load_config
+from embodied_captioning_tpu.models import detector as DET
+from embodied_captioning_tpu.ops.detections import Detections
+
+# tiny bottleneck config hitting every large-preset code path
+BCFG = DetectorConfig(
+    image_size=64, backbone_width=8, backbone_depths=(1, 1, 1, 1),
+    block="bottleneck", fpn_dim=32, min_level=1, add_p6=True,
+    pre_nms_topk=64, num_proposals=16, max_detections=8, paste_size=32,
+)
+
+
+def test_bottleneck_forward_contract():
+    params = DET.init_detector(jax.random.PRNGKey(0), BCFG)
+    # R50-family shapes: stage widths 4x the mids, shortcut on stage starts
+    assert params["stages"][0][0]["c3"]["w"].shape == (1, 1, 8, 32)
+    assert params["stages"][3][0]["c3"]["w"].shape == (1, 1, 64, 256)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    det = DET.forward(params, imgs, BCFG)
+    n = BCFG.max_detections
+    assert det.boxes.shape == (2, n, 4)
+    assert det.masks.shape == (2, n, BCFG.mask_size, BCFG.mask_size)
+    b = np.asarray(det.boxes)
+    assert (b >= 0).all() and (b <= BCFG.image_size).all()
+    assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_fpn_levels_and_anchor_count():
+    assert BCFG.fpn_strides == (8, 16, 32, 64)
+    params = DET.init_detector(jax.random.PRNGKey(0), BCFG)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    fpn = DET.backbone_fpn(params, imgs, BCFG)
+    assert [f.shape[1] for f in fpn] == [8, 4, 2, 1]  # strides 8..64
+    anchors = DET.all_anchors(BCFG.image_size, BCFG.fpn_strides)
+    assert anchors.shape == ((64 + 16 + 4 + 1) * DET.NUM_ANCHORS, 4)
+
+
+def test_bottleneck_loss_and_grads():
+    params = DET.init_detector(jax.random.PRNGKey(1), BCFG)
+    imgs = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    g = 4
+    gt = Detections(
+        boxes=jnp.asarray([[[8, 8, 30, 30], [30, 30, 60, 60],
+                            [5, 40, 20, 60], [0, 0, 0, 0]]], jnp.float32),
+        classes=jnp.asarray([[1, 2, 3, 0]], jnp.int32),
+        scores=jnp.ones((1, g)),
+        logits=jax.nn.one_hot(jnp.asarray([[1, 2, 3, 0]]), 6),
+        valid=jnp.asarray([[True, True, True, False]]),
+        masks=jnp.ones((1, g, 64, 64)),
+    )
+
+    def loss_fn(p):
+        total, aux = DET.detector_loss(p, imgs, gt, BCFG)
+        return total
+
+    total, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(total))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + (float(jnp.sum(jnp.square(x)))
+                          if x is not None else 0.0),
+        grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_paste_size_scaling():
+    """Masks pasted at a smaller raster land in the scaled box footprint."""
+    det = Detections(
+        boxes=jnp.asarray([[[16.0, 16.0, 48.0, 48.0]]]),
+        classes=jnp.zeros((1, 1), jnp.int32), scores=jnp.ones((1, 1)),
+        logits=jnp.ones((1, 1, 6)), valid=jnp.ones((1, 1), bool),
+        masks=jnp.ones((1, 1, 4, 4)),
+    )
+    fm = DET.full_masks(det, 32, src_size=64)  # boxes in 64^2 space
+    m = np.asarray(fm)[0, 0]
+    assert m.shape == (32, 32)
+    assert m[16, 16] > 0.5            # inside the (scaled) box
+    assert m[2, 2] == 0 and m[30, 30] == 0  # outside
+
+
+def test_perceive_sensor_to_detector_resize():
+    """perceive accepts sensor-resolution frames larger than the detector
+    input: detection boxes stay in detector pixel space, masks at
+    paste_size, captions cropped from the original frame."""
+    cfg = load_config("tiny")
+    cfg = dataclasses.replace(
+        cfg, detector=dataclasses.replace(cfg.detector, paste_size=32),
+        sensors=dataclasses.replace(cfg.sensors, height=128, width=128))
+    from embodied_captioning_tpu.perception import init_perception, perceive
+
+    params = init_perception(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.default_rng(2).integers(
+        0, 255, (2, 128, 128, 3)).astype(np.uint8))
+    out = perceive(params, imgs, jax.random.PRNGKey(1), cfg)
+    n = cfg.detector.max_detections
+    assert out.detections.boxes.shape == (2, n, 4)
+    assert float(jnp.max(out.detections.boxes)) <= cfg.detector.image_size
+    assert out.detections.masks.shape == (2, n, 32, 32)
+    assert np.isfinite(np.asarray(out.detections.embeddings)).all()
