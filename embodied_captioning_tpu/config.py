@@ -84,6 +84,13 @@ class TextDecoderConfig:
     layers: int = 12
     cross_layers: int = 12  # multimodal (cross-attention) layers
     mlp_ratio: float = 4.0
+    # special token ids. Defaults = the framework tokenizer's layout
+    # (models/tokenizer.py). Ported real CLIP-BPE checkpoints use
+    # pad=0, bos=49406 <|startoftext|>, eos=49407 <|endoftext|>
+    # (scripts/port_checkpoint.py sets these automatically).
+    pad_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
 
 
 @dataclass(frozen=True)
@@ -179,6 +186,11 @@ class DetectorConfig:
     backbone_width: int = 64
     backbone_depths: Tuple[int, ...] = (2, 2, 2, 2)
     block: str = "basic"  # basic | bottleneck
+    # backbone norm: "gn" (GroupNorm — trainable-from-scratch presets) or
+    # "affine" (FrozenBatchNorm-style per-channel scale/bias, detectron2's
+    # R50 inference norm — fuses into the conv epilogue; at 1024^2 the GN
+    # reduce/normalize passes alone measured ~2.5x the backbone time)
+    norm: str = "gn"
     fpn_dim: int = 128
     min_level: int = 0    # 0 = P2 (stride 4) is the finest FPN level
     add_p6: bool = False  # extra stride-64 RPN level
@@ -215,9 +227,9 @@ class DetectorConfig:
         confs/habitat/gibson_goal_exploration.yaml:96-116)."""
         return DetectorConfig(
             image_size=1024, backbone_width=64,
-            backbone_depths=(3, 4, 6, 3), block="bottleneck", fpn_dim=256,
-            min_level=1, add_p6=True, pre_nms_topk=1024, num_proposals=128,
-            max_detections=16, paste_size=256,
+            backbone_depths=(3, 4, 6, 3), block="bottleneck", norm="affine",
+            fpn_dim=256, min_level=1, add_p6=True, pre_nms_topk=1024,
+            num_proposals=128, max_detections=16, paste_size=256,
         )
 
 

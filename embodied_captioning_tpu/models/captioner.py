@@ -26,6 +26,9 @@ from .common import (
     KVCache, Params, block, block_init, causal_mask, dense, dense_init,
     embedding_init, layernorm, layernorm_init,
 )
+# Default special ids (the framework tokenizer's layout). Every generation/
+# loss function shadows these with cfg.text.{pad,bos,eos}_id so ported real
+# checkpoints (CLIP BPE: pad=0, bos=49406, eos=49407) decode correctly.
 from .tokenizer import BOS_ID, EOS_ID, PAD_ID
 from .vit import attentional_pool, encode_image, init_vit, vit_features
 
@@ -69,6 +72,22 @@ def _text_tower(params: Params, tokens: jnp.ndarray, cfg: CaptionerConfig,
     return layernorm(params["ln_text"], x)
 
 
+def _cross_kvs(params: Params, pooled: jnp.ndarray, heads: int):
+    """Precompute cross-attention K/V per mm block. Blocks without an
+    "xattn" sublayer (the self-attn half of a ported open_clip interleaved
+    tower) get None; "ln_kv" (open_clip's ln_1_kv) is applied first."""
+    from .common import layernorm, precompute_kv
+
+    out = []
+    for blk in params["mm_blocks"]:
+        if "xattn" not in blk:
+            out.append(None)
+            continue
+        src = (layernorm(blk["ln_kv"], pooled) if "ln_kv" in blk else pooled)
+        out.append(precompute_kv(blk["xattn"], src, heads))
+    return tuple(out)
+
+
 def _mm_tower(params: Params, text_feats: jnp.ndarray, img_tokens: jnp.ndarray,
               heads: int) -> jnp.ndarray:
     t = text_feats.shape[1]
@@ -84,6 +103,7 @@ def forward(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
             cfg: CaptionerConfig):
     """Training forward: returns (logits [B, T, V], image_emb [B, E],
     text_emb [B, E]) for captioning + contrastive losses."""
+    PAD_ID = cfg.text.pad_id
     pooled, img_emb = encode_image(params["vision"], images_u8, cfg.vision)
     text_feats = _text_tower(params, tokens, cfg)
     mm = _mm_tower(params, text_feats, pooled, cfg.text.heads)
@@ -107,7 +127,7 @@ def caption_loss(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     # next-token CE over non-pad targets
     targets = tokens[:, 1:]
     pred = logits[:, :-1]
-    mask = (targets != PAD_ID).astype(jnp.float32)
+    mask = (targets != cfg.text.pad_id).astype(jnp.float32)
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     ce = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -195,17 +215,14 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
     max_len = max_len or cfg.max_caption_len
     b = images_u8.shape[0]
     t = cfg.text
+    PAD_ID, BOS_ID, EOS_ID = t.pad_id, t.bos_id, t.eos_id
     pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
     head_dim = t.width // t.heads
     tc = tuple(KVCache.create(b, max_len, t.heads, head_dim)
                for _ in range(t.layers))
     mc = tuple(KVCache.create(b, max_len, t.heads, head_dim)
                for _ in range(t.cross_layers))
-    from .common import precompute_kv
-
-    cross_kvs = tuple(
-        precompute_kv(blk["xattn"], pooled, t.heads)
-        for blk in params["mm_blocks"])
+    cross_kvs = _cross_kvs(params, pooled, t.heads)
 
     def live_step(carry, pos):
         tok, finished, tc, mc, key = carry
@@ -275,6 +292,7 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
     max_len = max_len or cfg.max_caption_len
     b = images_u8.shape[0]
     t = cfg.text
+    PAD_ID, BOS_ID, EOS_ID = t.pad_id, t.bos_id, t.eos_id
     pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
     head_dim = t.width // t.heads
     cache_cap = max_len + draft_len + 1
@@ -282,10 +300,7 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
                for _ in range(t.layers))
     mc = tuple(KVCache.create(b, cache_cap, t.heads, head_dim)
                for _ in range(t.cross_layers))
-    from .common import precompute_kv
-
-    cross_kvs = tuple(precompute_kv(blk["xattn"], pooled, t.heads)
-                      for blk in params["mm_blocks"])
+    cross_kvs = _cross_kvs(params, pooled, t.heads)
 
     def run(tokens_blk, pos0, tc, mc, n_mm_layers, use_draft_head):
         """Teacher-forced pass of [B, W] tokens starting at pos0 with cache
@@ -423,6 +438,7 @@ def generate_beam(params: Params, images_u8: jnp.ndarray,
     w = num_beams
     b = images_u8.shape[0]
     t = cfg.text
+    PAD_ID, BOS_ID, EOS_ID = t.pad_id, t.bos_id, t.eos_id
     pooled, _ = encode_image(params["vision"], images_u8, cfg.vision)
     # expand to beams: [B*W, Q, D]
     pooled = jnp.repeat(pooled, w, axis=0)
@@ -432,10 +448,7 @@ def generate_beam(params: Params, images_u8: jnp.ndarray,
                for _ in range(t.layers))
     mc = tuple(KVCache.create(bw, max_len, t.heads, head_dim)
                for _ in range(t.cross_layers))
-    from .common import precompute_kv
-
-    cross_kvs = tuple(precompute_kv(blk["xattn"], pooled, t.heads)
-                      for blk in params["mm_blocks"])
+    cross_kvs = _cross_kvs(params, pooled, t.heads)
 
     neg = jnp.float32(-1e9)
     # beam 0 active, others dead at start (identical prefixes)
@@ -480,18 +493,20 @@ def generate_beam(params: Params, images_u8: jnp.ndarray,
     return tokens, norm[jnp.arange(b), best]
 
 
-def perplexity(step_out: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+def perplexity(step_out: jnp.ndarray, tokens: jnp.ndarray,
+               pad_id: int = PAD_ID) -> jnp.ndarray:
     """exp(mean -log p(chosen)) over decode steps, per sequence
     (ref: captioner/captioning_predictor.py:34-47 computes it from the
     stepwise max-prob logits). Accepts either generate()'s default
-    chosen-token log-probs [B, L-1] or full step logits [B, L-1, V]."""
+    chosen-token log-probs [B, L-1] or full step logits [B, L-1, V].
+    Pass pad_id=cfg.text.pad_id for ported-checkpoint id layouts."""
     chosen = tokens[:, 1:]
     if step_out.ndim == 3:
         logp = jax.nn.log_softmax(step_out.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, chosen[..., None], axis=-1)[..., 0]
     else:
         nll = -step_out.astype(jnp.float32)
-    mask = (chosen != PAD_ID).astype(jnp.float32)
+    mask = (chosen != pad_id).astype(jnp.float32)
     mean_nll = jnp.sum(nll * mask, axis=1) / jnp.maximum(
         jnp.sum(mask, axis=1), 1.0)
     return jnp.exp(mean_nll)

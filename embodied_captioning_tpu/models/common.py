@@ -427,12 +427,22 @@ def block(p: Params, x: jnp.ndarray, heads: int,
           ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Pre-LN transformer block with optional cross-attention sublayer.
     `causal=True` marks a pure causal mask, unlocking the flash kernel;
-    `cross_kv` supplies precomputed cross-attention K/V (decode loop)."""
-    h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
-                   cache=cache, compute_dtype=compute_dtype, causal=causal,
-                   cache_block_causal=cache_block_causal)
-    x = x + h
+    `cross_kv` supplies precomputed cross-attention K/V (decode loop).
+
+    Sublayers are keyed by param presence, so the same function runs both
+    the native fused layout (attn + xattn + mlp in one block) and ported
+    open_clip CoCa multimodal towers, whose layers interleave a self-attn
+    block with a CROSS-ONLY block (no "attn" key; its KV input is
+    pre-normalized by "ln_kv" = open_clip's ln_1_kv)."""
+    if "attn" in p:
+        h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
+                       cache=cache, compute_dtype=compute_dtype,
+                       causal=causal,
+                       cache_block_causal=cache_block_causal)
+        x = x + h
     if (cross is not None or cross_kv is not None) and "xattn" in p:
+        if cross is not None and "ln_kv" in p:
+            cross = layernorm(p["ln_kv"], cross)
         h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
                    compute_dtype=compute_dtype, kv_precomputed=cross_kv)
         x = x + h

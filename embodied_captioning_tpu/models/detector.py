@@ -87,6 +87,22 @@ def groupnorm(p: Params, x: jnp.ndarray, groups: int = 8,
     return (x.reshape(n, h, w, c) * p["g"] + p["b"]).astype(in_dtype)
 
 
+def affine_norm(p: Params, x: jnp.ndarray, groups: int = 8,
+                eps: float = 1e-5) -> jnp.ndarray:
+    """FrozenBatchNorm-style per-channel affine (detectron2's R50 backbone
+    norm at inference — running stats folded into scale/bias). No data
+    statistics, so XLA fuses it into the conv epilogue: zero extra HBM
+    passes, vs GroupNorm's reduce+normalize re-reads which measured ~2.5x
+    the backbone time at 1024^2 (docs/BENCH.md round-3 split). Selected by
+    DetectorConfig(norm="affine") — the serving-scale presets; the
+    trainable tiny/base presets keep GroupNorm."""
+    return (x.astype(jnp.float32) * p["g"] + p["b"]).astype(x.dtype)
+
+
+def norm_fn(cfg: DetectorConfig):
+    return affine_norm if cfg.norm == "affine" else groupnorm
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
@@ -173,8 +189,9 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
     """float images [B, S, S, 3] (0..1, normalized outside) -> FPN levels
     at `cfg.fpn_strides`, each [B, S/s, S/s, fpn_dim]. The finest returned
     level (index 0) is where ROI pooling happens."""
-    x = jax.nn.relu(groupnorm(params["stem_gn"],
-                              conv(params["stem"], images, stride=2)))
+    gn = norm_fn(cfg)
+    x = jax.nn.relu(gn(params["stem_gn"],
+                       conv(params["stem"], images, stride=2)))
     # stride-2 max pool so stage outputs sit at strides 4/8/16/32 (matching
     # the anchor grid)
     neg = jnp.asarray(-jnp.inf, x.dtype)
@@ -185,10 +202,10 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
         for bi, blk in enumerate(blocks):
             stride = 2 if (bi == 0 and si > 0) else 1
             if "c3" in blk:  # bottleneck: 1x1 reduce, 3x3 (strided), 1x1
-                h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x)))
-                h = jax.nn.relu(groupnorm(blk["g2"], conv(blk["c2"], h,
-                                                          stride=stride)))
-                h = groupnorm(blk["g3"], conv(blk["c3"], h))
+                h = jax.nn.relu(gn(blk["g1"], conv(blk["c1"], x)))
+                h = jax.nn.relu(gn(blk["g2"], conv(blk["c2"], h,
+                                                   stride=stride)))
+                h = gn(blk["g3"], conv(blk["c3"], h))
                 # stage starts always project (channels change)
                 if blk["sc"] is not None:
                     sc = conv(blk["sc"], x, stride=stride)
@@ -197,9 +214,9 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
                 else:
                     sc = x
             else:  # basic: 3x3 (strided) + 3x3
-                h = jax.nn.relu(groupnorm(blk["g1"], conv(blk["c1"], x,
-                                                          stride=stride)))
-                h = groupnorm(blk["g2"], conv(blk["c2"], h))
+                h = jax.nn.relu(gn(blk["g1"], conv(blk["c1"], x,
+                                                   stride=stride)))
+                h = gn(blk["g2"], conv(blk["c2"], h))
                 if stride == 2 or blk["sc"] is not None:
                     sc = x if blk["sc"] is None else conv(blk["sc"], x)
                     if stride == 2:
@@ -376,8 +393,9 @@ def _mask_head(params: Params, feat: jnp.ndarray, boxes: jnp.ndarray,
     """[N, mask_size, mask_size] logits for the predicted class."""
     x = roi_align(feat, boxes, cfg.mask_roi_size,
                   spatial_scale=1.0 / cfg.fpn_strides[0])
-    for cv, gn in zip(params["mask_convs"], params["mask_gns"]):
-        x = jax.nn.relu(groupnorm(gn, conv(cv, x)))
+    nrm = norm_fn(cfg)
+    for cv, gp in zip(params["mask_convs"], params["mask_gns"]):
+        x = jax.nn.relu(nrm(gp, conv(cv, x)))
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # 14 -> 28
     logits = conv(params["mask_out"], x)  # [N, m, m, C]
     sel = jnp.clip(classes, 0, cfg.num_classes - 1)

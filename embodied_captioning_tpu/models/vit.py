@@ -48,8 +48,12 @@ def init_vit(key, cfg: VitConfig) -> Params:
 
 
 def vit_features(params: Params, patch_tokens: jnp.ndarray,
-                 cfg: VitConfig) -> jnp.ndarray:
-    """Patch tokens [B, T, p*p*3] -> contextual features [B, T+1, width]."""
+                 cfg: VitConfig, final_ln: bool = True) -> jnp.ndarray:
+    """Patch tokens [B, T, p*p*3] -> contextual features [B, T+1, width].
+
+    `final_ln=False` skips ln_post — open_clip's CoCa vision tower applies
+    ln_post AFTER attentional pooling, not before (encode_image switches
+    ordering when ported CoCa pooler params are present)."""
     x = dense(params["patch"], patch_tokens)
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.width))
@@ -62,7 +66,7 @@ def vit_features(params: Params, patch_tokens: jnp.ndarray,
     x = layernorm(params["ln_pre"], x)
     for blk in params["blocks"]:
         x, _ = block(blk, x, cfg.heads)
-    return layernorm(params["ln_post"], x)
+    return layernorm(params["ln_post"], x) if final_ln else x
 
 
 def attentional_pool(params: Params, feats: jnp.ndarray,
@@ -92,11 +96,23 @@ def attentional_pool(params: Params, feats: jnp.ndarray,
 
 def encode_image(params: Params, images_u8: jnp.ndarray, cfg: VitConfig,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """uint8 [B, H, W, 3] -> (pooled tokens [B, Q, width],
-    global embedding [B, embed_dim] L2-normalized)."""
+    """uint8 [B, H, W, 3] -> (pooled tokens [B, Q(-1), width],
+    global embedding [B, embed_dim] L2-normalized).
+
+    Native ordering: transformer -> ln_post -> pool; all Q pooled tokens
+    feed the decoder and query 0 doubles as the global embedding.
+    Ported open_clip CoCa ordering (when CoCa-exact pooler params are
+    present): transformer -> pool -> ln_post -> split — the global latent
+    is pooled[:, 0] and the DECODER sees pooled[:, 1:]
+    (open_clip VisionTransformer attn_pool branch + _global_pool 'first')."""
     tokens = preprocess_for_vit(images_u8, cfg.image_size, cfg.patch_size)
-    feats = vit_features(params, tokens, cfg)
+    coca_exact = "pool_ln_q" in params
+    feats = vit_features(params, tokens, cfg, final_ln=not coca_exact)
     pooled = attentional_pool(params, feats, cfg.pool_heads)
+    if coca_exact:
+        pooled = layernorm(params["ln_post"], pooled)
     g = dense(params["proj"], pooled[:, 0]).astype(jnp.float32)
     g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    if coca_exact:
+        pooled = pooled[:, 1:]
     return pooled, g

@@ -252,6 +252,101 @@ def convert_gpt_decoder(state: Mapping[str, Any], dim: int,
     return out
 
 
+def convert_coca_multimodal(state: Mapping[str, Any],
+                            prefix: str = "text_decoder.", dim: int = 768
+                            ) -> Dict[str, Any]:
+    """open_clip MultimodalTransformer -> captioner fragment
+    {mm_blocks, ln_mm, head}.
+
+    open_clip interleaves a SELF-attention ResidualAttentionBlock
+    (`resblocks.{i}`) with a CROSS-attention one (`cross_attn.{i}`, whose KV
+    input is normalized by `ln_1_kv`); each has its own MLP. The fragment
+    maps layer i to TWO of our blocks — a self-only block (no "xattn") and
+    a cross-only block (no "attn") — which models/common.block dispatches
+    on by key presence, reproducing the torch forward exactly. The vocab
+    projection is `text_projection` [width, vocab] (no bias) after
+    `ln_final` -> our head after ln_mm."""
+    sd = {k[len(prefix):]: v for k, v in state.items()
+          if k.startswith(prefix)}
+    mm_blocks = []
+    i = 0
+    while f"resblocks.{i}.ln_1.weight" in sd:
+        p = f"resblocks.{i}."
+        mm_blocks.append({
+            "ln1": _ln(sd[p + "ln_1.weight"], sd[p + "ln_1.bias"]),
+            "attn": _mha_from_in_proj(
+                sd[p + "attn.in_proj_weight"], sd[p + "attn.in_proj_bias"],
+                sd[p + "attn.out_proj.weight"], sd[p + "attn.out_proj.bias"],
+                dim),
+            "ln2": _ln(sd[p + "ln_2.weight"], sd[p + "ln_2.bias"]),
+            "mlp": {
+                "fc": _dense_from_linear(sd[p + "mlp.c_fc.weight"],
+                                         sd[p + "mlp.c_fc.bias"]),
+                "proj": _dense_from_linear(sd[p + "mlp.c_proj.weight"],
+                                           sd[p + "mlp.c_proj.bias"]),
+            },
+        })
+        c = f"cross_attn.{i}."
+        mm_blocks.append({
+            "ln_x": _ln(sd[c + "ln_1.weight"], sd[c + "ln_1.bias"]),
+            "ln_kv": _ln(sd[c + "ln_1_kv.weight"], sd[c + "ln_1_kv.bias"]),
+            "xattn": _mha_from_in_proj(
+                sd[c + "attn.in_proj_weight"], sd[c + "attn.in_proj_bias"],
+                sd[c + "attn.out_proj.weight"], sd[c + "attn.out_proj.bias"],
+                dim),
+            "ln2": _ln(sd[c + "ln_2.weight"], sd[c + "ln_2.bias"]),
+            "mlp": {
+                "fc": _dense_from_linear(sd[c + "mlp.c_fc.weight"],
+                                         sd[c + "mlp.c_fc.bias"]),
+                "proj": _dense_from_linear(sd[c + "mlp.c_proj.weight"],
+                                           sd[c + "mlp.c_proj.bias"]),
+            },
+        })
+        i += 1
+    w = _t(sd["text_projection"])  # [width, vocab], parameter matrix
+    return {
+        "mm_blocks": mm_blocks,
+        "ln_mm": _ln(sd["ln_final.weight"], sd["ln_final.bias"]),
+        "head": {"w": w.copy(), "b": np.zeros(w.shape[1], np.float32)},
+    }
+
+
+def convert_coca(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Full open_clip CoCa checkpoint -> captioner param pytree.
+
+    Assembles: visual tower (convert_clip_vit + CoCa-exact attn_pool; the
+    forward switches to open_clip's pool->ln_post->split ordering when the
+    pooler params are present — models/vit.encode_image), unimodal text
+    tower (convert_gpt_decoder on `text.`), interleaved multimodal decoder
+    (`text_decoder.`), logit_scale. The text tower's trailing cls token
+    (open_clip embed_cls) does not affect caption-token features under the
+    causal mask, so captions port exactly; the contrastive text latent uses
+    our EOS-position pooling instead of the cls token (approximate —
+    documented).
+
+    Use with `TextDecoderConfig(pad_id=0, bos_id=49406, eos_id=49407,
+    layers=<n self>, cross_layers=<2n interleaved>)` and the CLIP BPE
+    tokenizer (models/tokenizer_artifacts.CLIPBPETokenizer);
+    scripts/port_checkpoint.py builds all of that in one command."""
+    width = _t(state["text.token_embedding.weight"]).shape[1]
+    params: Dict[str, Any] = {
+        "vision": convert_clip_vit(state, "visual."),
+    }
+    params["vision"].update(convert_attn_pool(state, "visual.attn_pool.",
+                                              dim=width))
+    if "proj" not in params["vision"]:  # pool width == embed dim: identity
+        params["vision"]["proj"] = {"w": np.eye(width, dtype=np.float32),
+                                    "b": np.zeros(width, np.float32)}
+    params.update(convert_gpt_decoder(state, width, prefix="text."))
+    params.update(convert_coca_multimodal(state, "text_decoder.", width))
+    if "text.text_projection" in state:
+        tp = _t(state["text.text_projection"])
+        params["text_proj"] = {"w": tp.copy(),
+                               "b": np.zeros(tp.shape[1], np.float32)}
+    params["logit_scale"] = np.asarray(_t(state["logit_scale"]), np.float32)
+    return params
+
+
 def load_torch_checkpoint(path: str, allow_pickle: bool = False
                           ) -> Dict[str, Any]:
     """Load a torch checkpoint safely.

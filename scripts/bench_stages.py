@@ -46,11 +46,15 @@ def main() -> None:
         params = quantize_params(params)
 
     size = cfg.detector.image_size
+    sensor = cfg.sensors.height
+    paste = cfg.detector.paste_size or size
     n = cfg.detector.max_detections
     c = batch * slots if 0 < slots < n else batch * n
     crop_size = cfg.captioner.vision.image_size
     rng_np = np.random.default_rng(0)
     images = jnp.asarray(
+        (rng_np.random((batch, sensor, sensor, 3)) * 255).astype(np.uint8))
+    det_images = jnp.asarray(
         (rng_np.random((batch, size, size, 3)) * 255).astype(np.uint8))
     crops = jnp.asarray(
         (rng_np.random((c, crop_size, crop_size, 3)) * 255).astype(np.uint8))
@@ -79,26 +83,47 @@ def main() -> None:
         "fence (null program)",
         lambda x: jnp.sum(x), jnp.ones((8,), jnp.float32))
 
-    def det_fwd(params, images):
-        det = DET.forward(params.detector, images, cfg.detector)
-        fm = DET.full_masks(det, size)
+    if sensor != size:
+        from embodied_captioning_tpu.ops.image import resize_bilinear
+
+        def pre_fn(images):
+            x = jnp.clip(resize_bilinear(images.astype(jnp.float32), size,
+                                         size), 0, 255).astype(jnp.uint8)
+            return jnp.sum(x.astype(jnp.int32))
+
+        out["preprocess_ms"] = timed(
+            f"preprocess {sensor}->{size}", pre_fn, images)
+
+    def det_fwd(params, det_images):
+        det = DET.forward(params.detector, det_images, cfg.detector)
+        fm = DET.full_masks(det, paste, size)
         return jnp.sum(det.boxes) + jnp.sum(fm)
 
-    out["detector_ms"] = timed("detector+masks+paste", det_fwd, params, images)
+    out["detector_ms"] = timed("detector+masks+paste", det_fwd, params,
+                               det_images)
 
-    def det_nopaste(params, images):
-        det = DET.forward(params.detector, images, cfg.detector)
+    def det_nopaste(params, det_images):
+        det = DET.forward(params.detector, det_images, cfg.detector)
         return jnp.sum(det.boxes) + jnp.sum(det.masks)
 
     out["detector_nopaste_ms"] = timed(
-        "detector (no paste)", det_nopaste, params, images)
+        "detector (no paste)", det_nopaste, params, det_images)
 
-    def crops_fn(params, images):
+    def det_backbone(params, det_images):
+        fpn = DET.backbone_fpn(params.detector,
+                               det_images.astype(jnp.float32) / 255.0,
+                               cfg.detector)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in fpn)
+
+    out["backbone_fpn_ms"] = timed("backbone+FPN only", det_backbone, params,
+                                   det_images)
+
+    def crops_fn(params, images, det_images):
         from embodied_captioning_tpu.ops.detections import expand_boxes
         from embodied_captioning_tpu.ops.image import crop_and_resize
 
-        det = DET.forward(params.detector, images, cfg.detector)
-        boxes = expand_boxes(det.boxes, 0.2, size, size)
+        det = DET.forward(params.detector, det_images, cfg.detector)
+        boxes = expand_boxes(det.boxes, 0.2, size, size) * (sensor / size)
         e = images.shape[0]
         flat_scores = (det.scores * det.valid).reshape(e * n)
         _, sel = jax.lax.top_k(flat_scores, c)
@@ -113,7 +138,7 @@ def main() -> None:
         return jnp.sum(cr)
 
     out["det_plus_crops_ms"] = timed("detector+crops", crops_fn, params,
-                                     images)
+                                     images, det_images)
 
     def encode_fn(params, crops):
         pooled, emb = encode_image(params.captioner["vision"], crops,
