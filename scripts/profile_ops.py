@@ -44,7 +44,7 @@ def capture(trace_dir: str, preset: str, batch: int, slots: int,
         from embodied_captioning_tpu.models.quantize import quantize_params
 
         params = quantize_params(params)
-    size = cfg.detector.image_size
+    size = cfg.sensors.height  # perceive takes sensor-resolution frames
     images = jnp.asarray((np.random.default_rng(0).random(
         (batch, size, size, 3)) * 255).astype(np.uint8))
     key = jax.random.PRNGKey(1)
