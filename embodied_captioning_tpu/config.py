@@ -50,7 +50,8 @@ class SimConfig:
     scene_seed: int = 0
     scene_size: float = 12.0  # square room extent in meters
     num_objects: int = 12
-    max_boxes: int = 64  # static capacity of scene AABB set
+    max_boxes: int = 96  # static capacity of scene AABB set (composite
+    #                       furniture spans up to 5 boxes per instance)
     episode_steps: int = 300  # ref: gibson_goal_exploration.yaml:15
     forward_step: float = 0.25
     turn_angle_deg: float = 10.0
