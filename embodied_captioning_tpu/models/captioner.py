@@ -239,33 +239,47 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
             out = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         return (nxt, finished, tc, mc, key), (nxt, out)
 
-    if full_logits:
-        step = live_step  # parity/debug path: emit real logits at every step
-    else:
-        def step(carry, pos):
-            # all-finished early exit: once every row emitted EOS the
-            # remaining scan iterations take the trivial branch (one scalar
-            # predicate on device) instead of a full decoder step — the
-            # padded 30-token decode stops costing max_len-1 steps on real,
-            # short captions. Visible outputs are unchanged: finished rows
-            # emit PAD either way (their log-prob entries are PAD-masked by
-            # every consumer), and the guard only engages when ALL rows are
-            # finished.
-            def dead(c):
-                tok, finished, tc, mc, key = c
-                pad = jnp.full((b,), PAD_ID, jnp.int32)
-                return ((pad, finished, tc, mc, key),
-                        (pad, jnp.zeros((b,), jnp.float32)))
-
-            return jax.lax.cond(jnp.all(carry[1]), dead,
-                                lambda c: live_step(c, pos), carry)
-
     tok0 = jnp.full((b,), BOS_ID, jnp.int32)
     fin0 = jnp.zeros((b,), bool)
-    (_, _, _, _, _), (toks, step_out) = jax.lax.scan(
-        step, (tok0, fin0, tc, mc, key), jnp.arange(max_len - 1))
-    tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
-    step_out = jnp.moveaxis(step_out, 0, 1)  # [B, L-1(, V)]
+    if full_logits:
+        # parity/debug path: fixed-length scan emitting real logits at
+        # every step (no early exit)
+        (_, _, _, _, _), (toks, step_out) = jax.lax.scan(
+            live_step, (tok0, fin0, tc, mc, key), jnp.arange(max_len - 1))
+        tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)],
+                                 axis=1)
+        step_out = jnp.moveaxis(step_out, 0, 1)  # [B, L-1, V]
+    else:
+        # all-finished EOS early exit as a while_loop: the loop stops once
+        # every row emitted EOS, so real (short) captions stop paying for
+        # the padded 30-token budget. A while_loop — NOT a cond-guarded
+        # scan body — is essential on TPU: while carries alias in place,
+        # whereas a conditional materializes copies of the KV caches on
+        # every step (profiled at ~150 ms/batch, docs/BENCH.md round 3).
+        # Visible outputs are unchanged: finished rows emit PAD, and the
+        # pre-zeroed output buffers equal what padded steps would write.
+        tokens0 = jnp.full((b, max_len), PAD_ID,
+                           jnp.int32).at[:, 0].set(tok0)
+        out0 = jnp.zeros((b, max_len - 1), jnp.float32)
+
+        def cond_fn(c):
+            pos, tok, finished, *_ = c
+            return (pos < max_len - 1) & ~jnp.all(finished)
+
+        def body_fn(c):
+            pos, tok, finished, tc, mc, key, tokens_b, out_b = c
+            (tok, finished, tc, mc, key), (nxt, out) = live_step(
+                (tok, finished, tc, mc, key), pos)
+            tokens_b = jax.lax.dynamic_update_slice(
+                tokens_b, nxt[:, None], (0, pos + 1))
+            out_b = jax.lax.dynamic_update_slice(
+                out_b, out[:, None], (0, pos))
+            return (pos + 1, tok, finished, tc, mc, key, tokens_b, out_b)
+
+        (_, _, _, _, _, _, tokens, step_out) = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.zeros((), jnp.int32), tok0, fin0, tc, mc, key, tokens0,
+             out0))
     lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1)
     return tokens, step_out, lengths
 

@@ -194,7 +194,9 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
                        conv(params["stem"], images, stride=2)))
     # stride-2 max pool so stage outputs sit at strides 4/8/16/32 (matching
     # the anchor grid)
-    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # init value must be a CONCRETE scalar of the operand dtype (a traced
+    # array breaks reduce_window's autodiff)
+    neg = x.dtype.type(-jnp.inf)
     x = jax.lax.reduce_window(x, neg, jax.lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), "SAME")
     feats = []
@@ -237,7 +239,8 @@ def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
         outs[i] = conv(params["fpn_out"][i], prev)
     if cfg.add_p6:  # stride-64 RPN level (detectron2 LastLevelMaxPool)
         outs.append(jax.lax.reduce_window(
-            outs[-1], neg, jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1), "SAME"))
+            outs[-1], outs[-1].dtype.type(-jnp.inf), jax.lax.max,
+            (1, 1, 1, 1), (1, 2, 2, 1), "SAME"))
     return outs
 
 

@@ -71,7 +71,8 @@ def infer_coca_config(state: Dict[str, Any],
             cross_layers=2 * mm_pairs, mlp_ratio=mlp_ratio,
             pad_id=tokenizer.pad_id, bos_id=tokenizer.bos_id,
             eos_id=tokenizer.eos_id),
-        max_caption_len=max_caption_len,
+        # decode cannot outrun the positional table
+        max_caption_len=min(max_caption_len, ctx),
     )
 
 

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("annotations", help="JSON list of image/box/caption")
     ap.add_argument("--checkpoint", default=None,
                     help="captioner params pickle (from fine-tuning)")
+    ap.add_argument("--ported-dir", default=None,
+                    help="ported real-checkpoint directory from "
+                         "scripts/port_checkpoint.py (overrides --preset/"
+                         "--checkpoint; uses the ported tokenizer + ids)")
     ap.add_argument("--preset", default="tiny")
     ap.add_argument("--out", default="captions_eval.csv")
     ap.add_argument("--batch", type=int, default=16)
@@ -54,15 +58,25 @@ def main() -> None:
     from embodied_captioning_tpu.ops.detections import expand_boxes
     from embodied_captioning_tpu.ops.image import crop_and_resize
 
-    cfg = load_config(args.preset, overrides=list(args.overrides)).captioner
-    if args.checkpoint:
-        import pickle
+    if args.ported_dir:
+        # real ported checkpoint (scripts/port_checkpoint.py): params +
+        # inferred config + the REAL tokenizer/ids travel together
+        from embodied_captioning_tpu.tools.port import load_ported
 
-        with open(args.checkpoint, "rb") as fh:
-            params = jax.tree_util.tree_map(jnp.asarray, pickle.load(fh))
+        params, cfg, tok = load_ported(args.ported_dir)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
     else:
-        params = init_captioner(jax.random.PRNGKey(0), cfg)
-    tok = default_tokenizer(cfg.text.vocab_size)
+        cfg = load_config(args.preset,
+                          overrides=list(args.overrides)).captioner
+        if args.checkpoint:
+            import pickle
+
+            with open(args.checkpoint, "rb") as fh:
+                params = jax.tree_util.tree_map(jnp.asarray,
+                                                pickle.load(fh))
+        else:
+            params = init_captioner(jax.random.PRNGKey(0), cfg)
+        tok = default_tokenizer(cfg.text.vocab_size)
 
     with open(args.annotations) as fh:
         anns = json.load(fh)
@@ -82,7 +96,7 @@ def main() -> None:
         batch_imgs = jnp.stack(crops).astype(jnp.uint8)
         toks, logits, _ = generate(params, batch_imgs, jax.random.PRNGKey(i),
                                    cfg)
-        ppl = np.asarray(perplexity(logits, toks))
+        ppl = np.asarray(perplexity(logits, toks, pad_id=cfg.text.pad_id))
         for a, t, p in zip(chunk, np.asarray(toks), ppl):
             rows.append({"proposed": tok.decode(t),
                          "reference": a["caption"],

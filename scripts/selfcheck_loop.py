@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny", choices=["tiny", "base"],
+                    help="base = ViT-B captioner + 256^2 detector on-chip "
+                         "(VERDICT round-2 next #10)")
     ap.add_argument("--det-steps", type=int, default=400)
     ap.add_argument("--cap-steps", type=int, default=300)
     ap.add_argument("--loop-steps", type=int, default=24)
@@ -37,10 +40,15 @@ def main() -> None:
         create_train_state, train_step,
     )
 
-    cfg = load_config("tiny", overrides=[
-        "sensors.height=64", "sensors.width=64", "sim.num_objects=8",
-        "sim.scene_size=8.0", "map.voxel_size=0.1", "runtime.num_envs=2",
-        "ppo.replanning_steps=8", "detector.score_threshold=0.2",
+    base_over = {
+        "tiny": ["sensors.height=64", "sensors.width=64"],
+        # base keeps its native 256^2 sensors/detector + ViT-B captioner
+        "base": [],
+    }[args.preset]
+    cfg = load_config(args.preset, overrides=base_over + [
+        "sim.num_objects=8", "sim.scene_size=8.0", "map.voxel_size=0.1",
+        "runtime.num_envs=2", "ppo.replanning_steps=8",
+        "detector.score_threshold=0.2",
     ] + list(args.overrides))
 
     # ---- 1. train the detector on sim GT (selfcheck_detector recipe) ----
@@ -105,8 +113,10 @@ def main() -> None:
     obs = trainer.envs.observe()
     n_caps = 0
     example = None
+    reward_trace = []
     for step in range(args.loop_steps):
         result = trainer.perceive_and_fuse(obs)
+        reward_trace.append(float(np.sum(trainer.rewards())))
         if result is not None:
             valid = np.asarray(result.detections.valid)
             if valid.any() and example is None:
@@ -126,9 +136,17 @@ def main() -> None:
         obs, _, _, _ = trainer.envs.step(acts)
     rewards = trainer.rewards()
     objects = [int(env.map_state.num_objects) for env in trainer.envs.envs]
+    dt = time.time() - t0
+    half = len(reward_trace) // 2
     print(json.dumps({
+        "preset": args.preset,
         "loop_steps": args.loop_steps,
-        "seconds": round(time.time() - t0, 1),
+        "seconds": round(dt, 1),
+        "loop_fps": round(cfg.runtime.num_envs * args.loop_steps / dt, 2),
+        "reward_mean_first_half": round(
+            float(np.mean(reward_trace[:half])) if half else 0.0, 5),
+        "reward_mean_second_half": round(
+            float(np.mean(reward_trace[half:])), 5),
         "captioned_detections": n_caps,
         "mapped_objects_per_env": objects,
         "disagreement_rewards": [round(float(r), 5) for r in rewards],

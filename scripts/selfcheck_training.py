@@ -134,19 +134,31 @@ def main() -> None:
     rng = np.random.default_rng(0)
     t0 = time.time()
     first = last = None
+    step_times = []
     for step in range(args.steps):
         sel = rng.choice(n, args.batch, replace=False)
+        ts = time.time()
         state, aux = train_step(state, jnp.asarray(images[sel]),
                                 jnp.asarray(tokens[sel]),
                                 jnp.zeros(args.batch, jnp.int32),
                                 jnp.ones(args.batch, bool), ccfg, lr=args.lr)
-        loss = float(aux["loss"])
+        loss = float(aux["loss"])  # host readback fences the step
+        if step > 0:
+            step_times.append(time.time() - ts)
         first = first if first is not None else loss
         last = loss
         if step % 50 == 0:
             print(f"  step {step}: loss={loss:.3f}", flush=True)
     print(f"[selfcheck] trained {args.steps} steps in "
           f"{time.time() - t0:.0f}s", flush=True)
+    step_ms = (1000.0 * sorted(step_times)[len(step_times) // 2]
+               if step_times else 0.0)
+    try:  # HBM headroom on real devices (absent on CPU)
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        hbm_limit_gb = round(stats.get("bytes_limit", 0) / 2**30, 2)
+    except Exception:
+        hbm_peak_gb = hbm_limit_gb = 0.0
 
     def evaluate(params):
         toks, _, _ = generate(params, jnp.asarray(np.stack(te_crops)),
@@ -204,6 +216,9 @@ def main() -> None:
 
     print(json.dumps({
         "train_crops": len(tr_crops), "test_crops": len(te_crops),
+        "preset": args.preset, "batch": args.batch,
+        "step_ms_median": round(step_ms, 1),
+        "hbm_peak_gb": hbm_peak_gb, "hbm_limit_gb": hbm_limit_gb,
         "first_loss": round(first, 3), "last_loss": round(last, 3),
         "class_word_accuracy": round(acc, 3),
         "sbert_cosine": round(cos, 4), "bleu": round(bleu, 4),
