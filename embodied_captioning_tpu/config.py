@@ -107,6 +107,10 @@ class CaptionerConfig:
     text: TextDecoderConfig = field(default_factory=TextDecoderConfig)
     max_caption_len: int = 30  # ref: coca_model.py:209 (seq_len=30)
     dtype: str = "bfloat16"
+    # rematerialize encoder blocks in the backward pass (jax.checkpoint):
+    # trades ~1/3 more encoder FLOPs for O(layers) less activation HBM —
+    # required to fine-tune the ViT-L preset on a single 16 GB chip
+    remat: bool = False
 
     @staticmethod
     def tiny() -> "CaptionerConfig":

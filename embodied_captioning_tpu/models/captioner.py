@@ -89,12 +89,18 @@ def _cross_kvs(params: Params, pooled: jnp.ndarray, heads: int):
 
 
 def _mm_tower(params: Params, text_feats: jnp.ndarray, img_tokens: jnp.ndarray,
-              heads: int) -> jnp.ndarray:
+              heads: int, remat: bool = False) -> jnp.ndarray:
     t = text_feats.shape[1]
     mask = causal_mask(t)
     x = text_feats
+
+    def blk_fn(blk, h, img):
+        return block(blk, h, heads, mask=mask, cross=img)[0]
+
+    if remat:
+        blk_fn = jax.checkpoint(blk_fn)
     for blk in params["mm_blocks"]:
-        x, _ = block(blk, x, heads, mask=mask, cross=img_tokens)
+        x = blk_fn(blk, x, img_tokens)
     return layernorm(params["ln_mm"], x)
 
 
@@ -104,9 +110,11 @@ def forward(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
     """Training forward: returns (logits [B, T, V], image_emb [B, E],
     text_emb [B, E]) for captioning + contrastive losses."""
     PAD_ID = cfg.text.pad_id
-    pooled, img_emb = encode_image(params["vision"], images_u8, cfg.vision)
+    pooled, img_emb = encode_image(params["vision"], images_u8, cfg.vision,
+                                   remat=cfg.remat)
     text_feats = _text_tower(params, tokens, cfg)
-    mm = _mm_tower(params, text_feats, pooled, cfg.text.heads)
+    mm = _mm_tower(params, text_feats, pooled, cfg.text.heads,
+                   remat=cfg.remat)
     logits = dense(params["head"], mm)
     # text embedding: feature at the last non-pad position (CLS-by-EOS)
     lengths = jnp.sum((tokens != PAD_ID).astype(jnp.int32), axis=1) - 1

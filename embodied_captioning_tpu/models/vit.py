@@ -48,12 +48,17 @@ def init_vit(key, cfg: VitConfig) -> Params:
 
 
 def vit_features(params: Params, patch_tokens: jnp.ndarray,
-                 cfg: VitConfig, final_ln: bool = True) -> jnp.ndarray:
+                 cfg: VitConfig, final_ln: bool = True,
+                 remat: bool = False) -> jnp.ndarray:
     """Patch tokens [B, T, p*p*3] -> contextual features [B, T+1, width].
 
     `final_ln=False` skips ln_post — open_clip's CoCa vision tower applies
     ln_post AFTER attentional pooling, not before (encode_image switches
-    ordering when ported CoCa pooler params are present)."""
+    ordering when ported CoCa pooler params are present).
+    `remat=True` checkpoints each block: backward re-computes block
+    internals from the block input, shrinking stored activations from
+    O(layers x internals) to O(layers x residual) — the ViT-L fine-tune
+    memory fix (CaptionerConfig.remat)."""
     x = dense(params["patch"], patch_tokens)
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.width))
@@ -64,8 +69,14 @@ def vit_features(params: Params, patch_tokens: jnp.ndarray,
     x = (jnp.concatenate([cls, x], axis=1)
          + params["pos"][None]).astype(jnp.bfloat16)
     x = layernorm(params["ln_pre"], x)
+
+    def blk_fn(blk, h):
+        return block(blk, h, cfg.heads)[0]
+
+    if remat:
+        blk_fn = jax.checkpoint(blk_fn)
     for blk in params["blocks"]:
-        x, _ = block(blk, x, cfg.heads)
+        x = blk_fn(blk, x)
     return layernorm(params["ln_post"], x) if final_ln else x
 
 
@@ -95,7 +106,7 @@ def attentional_pool(params: Params, feats: jnp.ndarray,
 
 
 def encode_image(params: Params, images_u8: jnp.ndarray, cfg: VitConfig,
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """uint8 [B, H, W, 3] -> (pooled tokens [B, Q(-1), width],
     global embedding [B, embed_dim] L2-normalized).
 
@@ -107,7 +118,8 @@ def encode_image(params: Params, images_u8: jnp.ndarray, cfg: VitConfig,
     (open_clip VisionTransformer attn_pool branch + _global_pool 'first')."""
     tokens = preprocess_for_vit(images_u8, cfg.image_size, cfg.patch_size)
     coca_exact = "pool_ln_q" in params
-    feats = vit_features(params, tokens, cfg, final_ln=not coca_exact)
+    feats = vit_features(params, tokens, cfg, final_ln=not coca_exact,
+                         remat=remat)
     pooled = attentional_pool(params, feats, cfg.pool_heads)
     if coca_exact:
         pooled = layernorm(params["ln_post"], pooled)
