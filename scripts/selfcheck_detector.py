@@ -12,21 +12,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def collect(cfg, episodes, steps_per_ep, seed0, rng):
+def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
+    """Batched collection: walk all sims on host first, then render
+    (scene, pose) pairs in chunked `render_batch` launches with ONE fetch
+    per chunk — through the tunnel this is ~20x fewer round trips than
+    per-frame observe() (the device renders a batch as cheaply as one)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from embodied_captioning_tpu.envs.sim import RaycastSim
+    from embodied_captioning_tpu.envs.sim import (
+        RaycastSim, gt_detections, render_batch,
+    )
 
-    frames = []
+    sims, jobs = [], []
     for ep in range(episodes):
         sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
+        sims.append(sim)
         for _ in range(steps_per_ep):
             for _ in range(int(rng.integers(2, 6))):
                 sim.step(int(rng.integers(1, 4)))
-            obs = sim.observe()
-            det = sim.gt_detections(obs,
-                                    max_instances=cfg.detector.max_detections)
-            frames.append((np.asarray(obs["rgb"]), det))
+            jobs.append((ep, np.asarray(sim.agent.camera_matrix(),
+                                        np.float32)))
+
+    n_det = cfg.detector.max_detections
+    min_px = max(50, (cfg.sensors.height * cfg.sensors.width) // 2184)
+    gt_batch = jax.jit(jax.vmap(functools.partial(
+        gt_detections, max_instances=n_det, min_pixels=min_px)))
+
+    frames = []
+    for i in range(0, len(jobs), chunk):
+        part = jobs[i:i + chunk]
+        scenes = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[sims[e].scene for e, _ in part])
+        poses = jnp.asarray(np.stack([p for _, p in part]))
+        out = render_batch(scenes, poses, cfg.sensors.height,
+                           cfg.sensors.width, cfg.sensors.hfov_deg,
+                           cfg.sensors.max_depth)
+        dets = gt_batch(out["instances"], out["classes"])
+        rgb = np.asarray(out["rgb"])
+        dets = jax.tree_util.tree_map(np.asarray, dets)
+        for b in range(len(part)):
+            frames.append((rgb[b],
+                           jax.tree_util.tree_map(lambda x: x[b], dets)))
     return frames
 
 
