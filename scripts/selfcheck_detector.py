@@ -13,10 +13,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
-    """Batched collection: walk all sims on host first, then render
-    (scene, pose) pairs in chunked `render_batch` launches with ONE fetch
-    per chunk — through the tunnel this is ~20x fewer round trips than
-    per-frame observe() (the device renders a batch as cheaply as one)."""
+    """Batched collection at DETECTOR scale: walk all sims on host first,
+    then render (scene, pose) pairs in chunked `render_batch` launches;
+    rgb/boxes/masks are resized to detector resolution ON DEVICE (masks to
+    uint8) before the one fetch per chunk. Through the tunnel this is ~20x
+    fewer round trips AND ~13x fewer bytes than per-frame observe()+
+    full-res f32 masks (which measured ~10 GB for a 2.4k-frame ladder)."""
     import functools
 
     import jax
@@ -26,6 +28,7 @@ def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
     from embodied_captioning_tpu.envs.sim import (
         RaycastSim, gt_detections, render_batch,
     )
+    from embodied_captioning_tpu.ops.image import resize_bilinear
 
     sims, jobs = [], []
     for ep in range(episodes):
@@ -38,9 +41,27 @@ def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
                                         np.float32)))
 
     n_det = cfg.detector.max_detections
-    min_px = max(50, (cfg.sensors.height * cfg.sensors.width) // 2184)
-    gt_batch = jax.jit(jax.vmap(functools.partial(
-        gt_detections, max_instances=n_det, min_pixels=min_px)))
+    size = cfg.detector.image_size
+    sensor = cfg.sensors.height
+    min_px = max(50, (sensor * cfg.sensors.width) // 2184)
+    gt_batch = jax.vmap(functools.partial(
+        gt_detections, max_instances=n_det, min_pixels=min_px))
+
+    @jax.jit
+    def render_chunk(scenes, poses):
+        out = render_batch(scenes, poses, sensor, cfg.sensors.width,
+                           cfg.sensors.hfov_deg, cfg.sensors.max_depth)
+        dets = gt_batch(out["instances"], out["classes"])
+        scale = size / sensor
+        rgb = out["rgb"]
+        if sensor != size:
+            rgb = jnp.clip(resize_bilinear(rgb.astype(jnp.float32), size,
+                                           size), 0, 255).astype(jnp.uint8)
+            dets = dets.replace(boxes=dets.boxes * scale)
+        m = jnp.transpose(dets.masks, (0, 2, 3, 1))      # [B, H, W, N]
+        m = resize_bilinear(m, size, size) >= 0.5
+        masks = jnp.transpose(m, (0, 3, 1, 2)).astype(jnp.uint8)
+        return rgb, dets.replace(masks=masks)
 
     frames = []
     for i in range(0, len(jobs), chunk):
@@ -48,11 +69,8 @@ def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
         scenes = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[sims[e].scene for e, _ in part])
         poses = jnp.asarray(np.stack([p for _, p in part]))
-        out = render_batch(scenes, poses, cfg.sensors.height,
-                           cfg.sensors.width, cfg.sensors.hfov_deg,
-                           cfg.sensors.max_depth)
-        dets = gt_batch(out["instances"], out["classes"])
-        rgb = np.asarray(out["rgb"])
+        rgb, dets = render_chunk(scenes, poses)
+        rgb = np.asarray(rgb)
         dets = jax.tree_util.tree_map(np.asarray, dets)
         for b in range(len(part)):
             frames.append((rgb[b],

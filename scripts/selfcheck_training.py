@@ -55,9 +55,14 @@ def collect(cfg, episodes, steps, seed0, max_crops):
     rng = np.random.default_rng(seed0)
     for ep in range(episodes):
         sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
-        albedo_by_iid = {int(i): a for i, a in zip(
-            np.asarray(sim.scene.instance_id), np.asarray(sim.scene.albedo))
-            if i >= 0}
+        # composite furniture spans several boxes per instance id; the
+        # FIRST box is the primary part (seat/mattress/top), so its albedo
+        # names the object's color
+        albedo_by_iid = {}
+        for i, a in zip(np.asarray(sim.scene.instance_id),
+                        np.asarray(sim.scene.albedo)):
+            if i >= 0 and int(i) not in albedo_by_iid:
+                albedo_by_iid[int(i)] = a
         for _ in range(steps):
             for _ in range(int(rng.integers(2, 6))):
                 sim.step(int(rng.integers(1, 4)))
