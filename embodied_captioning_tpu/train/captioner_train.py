@@ -66,7 +66,8 @@ def create_train_state(params: dict, lr: float = 1e-4) -> TrainState:
                       jnp.zeros((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "lr", "triplet_weight"))
+@functools.partial(jax.jit, static_argnames=("cfg", "lr", "triplet_weight"),
+                   donate_argnums=(0,))
 def train_step(state: TrainState, images_u8: jnp.ndarray,
                tokens: jnp.ndarray, object_ids: jnp.ndarray,
                sample_valid: jnp.ndarray, cfg: CaptionerConfig,
@@ -74,7 +75,13 @@ def train_step(state: TrainState, images_u8: jnp.ndarray,
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One fine-tune step on (crop, caption, object_id) triples. Under a
     sharded jit this is the full distributed step: batch axes sharded over
-    "data", TP params over "model"."""
+    "data", TP params over "model".
+
+    The input state is DONATED (updated in place): without donation the
+    old and new params+opt_state coexist at the update, which alone is
+    ~14 GB for the ViT-L preset — the difference between fitting and
+    OOMing on one 16 GB chip. Callers must not reuse the state they
+    passed in (the standard `state, aux = train_step(state, ...)` idiom)."""
 
     def loss_fn(params):
         total, aux = caption_loss(params, images_u8, tokens, cfg)

@@ -80,7 +80,9 @@ def test_dp4_tp2_train_step_matches_single_device(tp_setup):
     obj_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
     valid = jnp.ones((4,), bool)
 
-    state0 = create_train_state(params)
+    # train_step donates its state — give the reference run a COPY so the
+    # module-scoped params fixture stays alive for the TP run below
+    state0 = create_train_state(jax.tree_util.tree_map(jnp.array, params))
     _, ref_aux = train_step(state0, imgs, toks, obj_ids, valid, cfg,
                             triplet_weight=0.1)
 
