@@ -104,6 +104,19 @@ def test_roi_align_avg_pool():
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
 
 
+def test_roi_align_fold_matches_fine_grid(rng):
+    # the bin-average is folded into the interpolation weights; must equal
+    # the explicit fine-sample-grid + pool formulation (linearity)
+    feat = jnp.asarray(rng.random((32, 32, 8)), jnp.float32)
+    boxes = jnp.asarray([[2.0, 3.0, 20.0, 17.0],
+                         [0.0, 0.0, 31.0, 31.0],
+                         [5.5, 6.5, 9.0, 28.0]])
+    got = I.roi_align(feat, boxes, 7, sampling_ratio=2)
+    fine = I.crop_and_resize(feat, boxes, 14)
+    ref = fine.reshape(3, 7, 2, 7, 2, 8).mean(axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_paste_masks():
     probs = jnp.ones((1, 4, 4))  # caller sigmoids logits first
     boxes = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
