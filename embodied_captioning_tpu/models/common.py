@@ -120,6 +120,16 @@ def _pallas_ln() -> bool:
     return _os.environ.get("ECAP_PALLAS_LN", "0") == "1"
 
 
+def _ln_barrier() -> bool:
+    """Opt-in (ECAP_LN_BARRIER=1, read lazily at trace time): wrap LN inputs
+    in lax.optimization_barrier so XLA cannot fuse the LN-stats reduction
+    into the producing matmul. At ViT-L encode shapes the fused form picks a
+    crippled conv emitter (~1.6 ms/op vs 0.2 ms for the standalone reduce —
+    see docs/BENCH.md); the barrier splits them. Probe:
+    scripts/probe_lnfuse.py."""
+    return _os.environ.get("ECAP_LN_BARRIER", "0") == "1"
+
+
 def _ln_kernel_ok(x: jnp.ndarray) -> bool:
     """Kernel path: TPU backend, lane-aligned width, enough rows to win."""
     if not _pallas_ln() or x.ndim < 2:
@@ -149,6 +159,8 @@ def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
     here because it breaks XLA's surrounding fusions (see _PALLAS_LN note);
     kept opt-in."""
     out_dtype = out_dtype or x.dtype
+    if _ln_barrier():
+        x = jax.lax.optimization_barrier(x)
     if out_dtype == x.dtype and _ln_kernel_ok(x):
         return _ln_pallas(x, p["g"], p["b"], eps)
     return _layernorm_ref(x, p["g"], p["b"], eps, out_dtype)

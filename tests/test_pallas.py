@@ -97,6 +97,24 @@ def test_layernorm_kernel_parity(rng):
             rtol=2e-2, atol=2e-2)
 
 
+def test_ln_barrier_toggle_is_identity(monkeypatch, rng):
+    # ECAP_LN_BARRIER wraps LN inputs in lax.optimization_barrier — a
+    # scheduling hint only; it may change fusion (and hence float
+    # reassociation) but not semantics, and the flag must be read lazily
+    # (monkeypatch-able at trace time).
+    from embodied_captioning_tpu.models import common
+
+    x = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+    p = {"g": jnp.asarray(rng.standard_normal((64,)), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((64,)), jnp.float32)}
+    monkeypatch.delenv("ECAP_LN_BARRIER", raising=False)
+    base = jax.jit(lambda p, x: common.layernorm(p, x))(p, x)
+    monkeypatch.setenv("ECAP_LN_BARRIER", "1")
+    barr = jax.jit(lambda p, x: common.layernorm(p, x))(p, x)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(barr),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_layernorm_custom_vjp_matches_ref_grads(rng):
     # the TPU fast path routes through _ln_pallas (custom_vjp); its backward
     # must match autodiff through the reference formulation
