@@ -242,10 +242,20 @@ def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
     dim otherwise lowers to a VPU multiply+reduce at ~197 GB/s (profiled:
     130 us/layer/step at ViT-L pooled K=256), while the symmetric w·V form
     runs as an MXU fusion at ~709 GB/s. Pre-transposing K makes q·K take
-    the fast path too; the one-time transpose cost is 12 layers x 25 MB."""
-    k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+    the fast path too. K is projected DIRECTLY into the transposed layout
+    via a head-split weight einsum (the round-3 trace showed the
+    dense->transpose form emitting 24 standalone relayout copies,
+    ~3.7 ms/batch; folding the transpose into the matmul deletes them)."""
+    from .quantize import maybe_dequant
+
+    dkv = kv_src.shape[-1]
+    dh = p["k"]["w"].shape[-1] // heads  # w: [Dkv, H*Dh]
+    wk = maybe_dequant(p["k"]["w"], compute_dtype).reshape(dkv, heads, dh)
+    bk = p["k"]["b"].reshape(heads, dh)
+    kt = (jnp.einsum("bkd,dhm->bhmk", kv_src.astype(compute_dtype), wk,
+                     preferred_element_type=jnp.float32)
+          + bk[None, :, :, None]).astype(compute_dtype)  # [B, H, Dh, K]
     v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
-    kt = jnp.transpose(k, (0, 2, 3, 1))  # [B, H, Dh, K]
     from .quantize import QuantizedArray, int8_kv_enabled, quantize_kv
 
     if isinstance(p["k"]["w"], QuantizedArray) and int8_kv_enabled():
@@ -255,6 +265,58 @@ def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
         # for activations; ECAP_INT8_KV=0 reverts)
         return quantize_kv(kt, v)
     return kt.astype(compute_dtype), v.astype(compute_dtype)
+
+
+def _proj_headmajor(p_one: Params, x: jnp.ndarray, heads: int,
+                    compute_dtype) -> jnp.ndarray:
+    """[B, T, Din] @ head-split weight -> [B, H, T, Dh] directly (no
+    post-matmul relayout: the round-3 trace showed the dense->reshape
+    spelling emitting a 77 us copy per projection — 69 copies/encode)."""
+    from .quantize import maybe_dequant
+
+    d_in = x.shape[-1]
+    dh = p_one["w"].shape[-1] // heads
+    w = maybe_dequant(p_one["w"], compute_dtype).reshape(d_in, heads, dh)
+    b = p_one["b"].reshape(heads, 1, dh)
+    y = jnp.einsum("btd,dhm->bhtm", x.astype(compute_dtype), w,
+                   preferred_element_type=jnp.float32)
+    return (y + b).astype(compute_dtype)
+
+
+def _mha_headmajor(p: Params, x: jnp.ndarray, heads: int,
+                   kv: Optional[jnp.ndarray], mask, causal: bool,
+                   compute_dtype) -> jnp.ndarray:
+    """Uncached attention with head-major [B, H, T, Dh] projections
+    end-to-end: scores/PV run as head-batched MXU matmuls without the
+    [B, T, D] -> head-major relayout copies, and the out-projection
+    contracts (h, m) jointly. Numerically identical to the reference
+    spelling up to float reassociation (probe: scripts/probe_headmajor.py,
+    rel ~7e-8; 121.5 -> 119.6 ms on the ViT-L encode x64)."""
+    from .quantize import maybe_dequant
+
+    q = _proj_headmajor(p["q"], x, heads, compute_dtype)
+    src = x if kv is None else kv
+    k = _proj_headmajor(p["k"], src, heads, compute_dtype)
+    v = _proj_headmajor(p["v"], src, heads, compute_dtype)
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqm,bhkm->bhqk", q, k).astype(jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if causal and mask is None:
+        tq = q.shape[2]
+        mask = jnp.tril(jnp.ones((tq, tq), bool))[None, None]
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    pexp = jnp.exp(logits - m).astype(compute_dtype)
+    denom = jnp.sum(pexp.astype(jnp.float32), axis=-1)  # [B, H, Q]
+    out = jnp.einsum("bhqk,bhkm->bhqm", pexp, v.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    out = (out / denom[..., None]).astype(compute_dtype)
+    d_model = p["o"]["w"].shape[-1]
+    wo = maybe_dequant(p["o"]["w"], compute_dtype).reshape(heads, dh, d_model)
+    y = jnp.einsum("bhqm,hmd->bqd", out, wo,
+                   preferred_element_type=jnp.float32)
+    return (y + p["o"]["b"]).astype(compute_dtype)
 
 
 def mha(p: Params, x: jnp.ndarray, heads: int,
@@ -279,6 +341,20 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     Returns (out [B, Tq, D], updated cache or None).
     """
     kv_scales = None  # (kt_scale, v_scale) when K/V arrive int8-quantized
+    # default uncached bf16 path: head-major projections end-to-end (no
+    # relayout copies). Skipped when the opt-in Pallas flash or W8A8 paths
+    # are enabled (they consume the [B, T, H, Dh] spelling below), or with
+    # ECAP_HEADMAJOR=0 (lazy, for A/B measurement).
+    if (cache is None and kv_precomputed is None
+            and compute_dtype == jnp.bfloat16
+            and not _fuse_qkv_enc()
+            and _os.environ.get("ECAP_HEADMAJOR", "1") == "1"):
+        from ..ops.pallas.dispatch import pallas_enabled
+        from .quantize import w8a8_enabled
+
+        if not pallas_enabled() and not w8a8_enabled():
+            return _mha_headmajor(p, x, heads, kv, mask, causal,
+                                  compute_dtype), None
     # QKV-fusion (3 matmuls -> 1) on the cached decode path: measured a
     # small net negative on this chip (see _FUSE_QKV note), kept opt-in
     # via ECAP_FUSE_QKV=1 for hardware where dispatch dominates harder.

@@ -344,7 +344,12 @@ def _propose(obj: jnp.ndarray, deltas: jnp.ndarray, anchors: jnp.ndarray,
              cfg: DetectorConfig):
     """Per-image: top-k by objectness, decode, NMS -> [P, 4] proposals."""
     k = cfg.pre_nms_topk
-    scores, idx = jax.lax.top_k(obj, k)
+    # approx_max_k: TPU-native bucketed top-k (exact full sort over the
+    # 131k-anchor objectness profiled 1.66 ms/batch at 8 GB/s). The RPN
+    # candidate set is a recall heuristic — anchors missed at
+    # recall_target=0.95 are near-duplicates of kept neighbors, and the
+    # argmax-NMS below needs no input ordering. Exact on CPU (tests).
+    scores, idx = jax.lax.approx_max_k(obj, k, recall_target=0.95)
     boxes = decode_boxes(anchors[idx], deltas[idx], cfg.image_size)
     keep_idx, keep_ok = nms_topk(boxes, scores, 0.7, cfg.num_proposals)
     props = boxes[keep_idx]
@@ -461,6 +466,12 @@ def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
     Postprocess parity with the reference runtime detector
     (ref: predictor_utils.py:338-379): score threshold, per-class NMS, local
     classes 0..5, per-class probability vector in `logits`, ROI masks.
+
+    Accepts uint8 frames or float frames on the same 0..255 scale — the
+    fused perception program feeds the on-device resize output directly
+    (skipping a uint8 round-trip re-materializes ~50 MB/batch and a layout
+    copy; the reference's HF processor never re-rounds to uint8 either,
+    ref: predictor_utils.py:308-379).
     """
     images = images_u8.astype(jnp.float32) / 255.0
     inter = _intermediates(params, images, cfg)

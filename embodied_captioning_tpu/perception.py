@@ -86,10 +86,11 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
         # the reference runs the HF processor's 1280^2 resize on host CPU
         # (ref: predictor_utils.py:308-379); here the full-res frame stays
         # on device and only the detector sees the downscale — caption
-        # crops below are taken from the ORIGINAL sensor frame
-        det_in = jnp.clip(resize_bilinear(
-            images_u8.astype(jnp.float32), size, size), 0, 255
-        ).astype(jnp.uint8)
+        # crops below are taken from the ORIGINAL sensor frame. The resize
+        # output feeds the detector as float directly (bilinear hat weights
+        # are a convex combination, so values stay in [0, 255]; a uint8
+        # round-trip would re-materialize the 1024^2 batch for no reason)
+        det_in = resize_bilinear(images_u8.astype(jnp.float32), size, size)
     else:
         det_in = images_u8
     det = DET.forward(params.detector, det_in, cfg.detector)
