@@ -429,6 +429,14 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
             cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
 
+    if causal and mask is None and cache is None:
+        # causal=True without an explicit mask: synthesize the tril mask.
+        # Previously only the flash kernel and the head-major path honored
+        # the flag and this XLA fallback ran unmasked — all in-repo callers
+        # pass mask=causal_mask(t) explicitly, but the paths must agree.
+        tq_ = q.shape[1]
+        mask = jnp.tril(jnp.ones((tq_, tq_), bool))[None, None]
+
     # opt-in Pallas flash path: uncached SELF-attention with no explicit
     # mask (ViT) or a pure causal mask, on qualifying shapes
     if cache is None and kv is None and kv_precomputed is None and (

@@ -170,3 +170,34 @@ def test_sentence_encoder_semantics():
     # identical strings -> identical embeddings
     np.testing.assert_allclose(e[0], e[1], atol=1e-6)
     assert float(e[0] @ e[2]) < 0.9999
+
+
+def test_headmajor_mha_matches_legacy_spelling(monkeypatch, rng):
+    """The default uncached bf16 path projects QKV head-major end-to-end
+    (common._mha_headmajor); ECAP_HEADMAJOR=0 restores the legacy
+    dense->split_heads spelling. Same weights must agree to bf16 tolerance,
+    for self-attention (causal and masked) and cross-attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from embodied_captioning_tpu.models import common as C
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    d, h, tq, tk = 64, 4, 9, 7
+    p = C.mha_init(k1, d, h)
+    x = jax.random.normal(k2, (2, tq, d), jnp.float32)
+    kv = jax.random.normal(k3, (2, tk, d), jnp.float32)
+    mask = jnp.asarray(np.random.default_rng(0).random((2, 1, tq, tk)) > 0.3)
+
+    cases = [dict(causal=True), dict(kv=kv), dict(kv=kv, mask=mask)]
+    for kw in cases:
+        monkeypatch.setenv("ECAP_HEADMAJOR", "1")
+        a, _ = C.mha(p, x, h, compute_dtype=jnp.bfloat16, **kw)
+        monkeypatch.setenv("ECAP_HEADMAJOR", "0")
+        b, _ = C.mha(p, x, h, compute_dtype=jnp.bfloat16, **kw)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.06, atol=0.06)
+        assert np.corrcoef(np.asarray(a, np.float32).ravel(),
+                           np.asarray(b, np.float32).ravel())[0, 1] > 0.999
