@@ -179,6 +179,41 @@ def init_detector(key, cfg: DetectorConfig) -> Params:
     return params
 
 
+def fold_affine(params: Params, cfg: DetectorConfig) -> Params:
+    """Serving-time transform for norm='affine' presets: absorb each
+    per-channel affine norm into its preceding conv (w' = w*g,
+    b' = b_conv*g + b_norm) and neutralize the norm params (g=1, b=0).
+    Exact — affine norm has no data statistics. Lets XLA see one fewer
+    elementwise op per conv; measured impact via scripts/probe_backbone.py.
+    """
+    if cfg.norm != "affine":
+        raise ValueError("fold_affine requires norm='affine'")
+
+    def fold(c: Params, g: Params) -> Tuple[Params, Params]:
+        w = jnp.asarray(c["w"], jnp.float32)
+        cnew = {"w": w * g["g"], "b": c["b"] * g["g"] + g["b"]}
+        gnew = {"g": jnp.ones_like(g["g"]), "b": jnp.zeros_like(g["b"])}
+        return cnew, gnew
+
+    p = dict(params)  # apply BEFORE quantize_params (folds float weights)
+    p["stem"], p["stem_gn"] = fold(params["stem"], params["stem_gn"])
+    stages = []
+    for blocks in params["stages"]:
+        nb = []
+        for blk in blocks:
+            b2 = dict(blk)
+            for ci, gi in (("c1", "g1"), ("c2", "g2"), ("c3", "g3")):
+                if ci in blk:
+                    b2[ci], b2[gi] = fold(blk[ci], blk[gi])
+            nb.append(b2)
+        stages.append(nb)
+    p["stages"] = stages
+    p["mask_convs"], p["mask_gns"] = map(list, zip(*[
+        fold(c, g) for c, g in zip(params["mask_convs"],
+                                   params["mask_gns"])]))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # backbone + FPN
 # ---------------------------------------------------------------------------

@@ -109,3 +109,44 @@ def test_perceive_sensor_to_detector_resize():
     assert float(jnp.max(out.detections.boxes)) <= cfg.detector.image_size
     assert out.detections.masks.shape == (2, n, 32, 32)
     assert np.isfinite(np.asarray(out.detections.embeddings)).all()
+
+
+def test_fold_affine_equivalence():
+    """Serving-time affine-norm folding (w' = w*g, b' = b*g + b_norm) must
+    be numerically equivalent: same FPN features (up to float reassociation)
+    and identical detections."""
+    cfg = dataclasses.replace(BCFG, norm="affine")
+    params = DET.init_detector(jax.random.PRNGKey(2), cfg)
+    # give the affine params non-trivial values (init is identity)
+    rng = np.random.default_rng(2)
+
+    def jitter(p):
+        if isinstance(p, dict) and set(p) == {"g", "b"}:
+            return {"g": p["g"] * jnp.asarray(
+                        0.5 + rng.random(p["g"].shape), jnp.float32),
+                    "b": p["b"] + jnp.asarray(
+                        rng.standard_normal(p["b"].shape) * 0.1, jnp.float32)}
+        if isinstance(p, dict):
+            return {k: jitter(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [jitter(v) for v in p]
+        return p
+
+    params = jitter(params)
+    folded = DET.fold_affine(params, cfg)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    f_a = DET.backbone_fpn(params, imgs.astype(jnp.float32) / 255.0, cfg)
+    f_b = DET.backbone_fpn(folded, imgs.astype(jnp.float32) / 255.0, cfg)
+    for a, b in zip(f_a, f_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        # folding g into w moves the bf16 weight-rounding point, so
+        # features carry bf16 accumulation noise relative to feature scale
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() < 0.05 * scale
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9999
+    d_a = DET.forward(params, imgs, cfg)
+    d_b = DET.forward(folded, imgs, cfg)
+    assert (np.asarray(d_a.classes) == np.asarray(d_b.classes)).mean() > 0.9
+    np.testing.assert_allclose(np.asarray(d_a.scores), np.asarray(d_b.scores),
+                               atol=0.05)
