@@ -206,7 +206,8 @@ def _sample(logits: jnp.ndarray, key, top_k: int, top_p: float,
                      "full_logits"))
 def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
              max_len: Optional[int] = None, top_k: int = 0, top_p: float = 0.0,
-             temperature: float = 0.0, full_logits: bool = False):
+             temperature: float = 0.0, full_logits: bool = False,
+             row_valid: Optional[jnp.ndarray] = None):
     """Batched KV-cached caption generation.
 
     Args:
@@ -215,6 +216,12 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
         the chosen-token log-probs. At reference vocab (49,408) the full
         tensor is ~200 KB/step/sequence of HBM->host output — opt-in for
         parity/debug only; perplexity needs just the chosen log-probs.
+      row_valid: optional [B] bool; False rows start finished and emit only
+        PAD (tokens [BOS, PAD...], length 1). Padded detection slots thus
+        cost zero decode steps via the while_loop early exit — matching the
+        reference, which only captions its real detections
+        (ref: agents/goal_exploration/goal_exploration.py:77-144). Valid
+        rows decode identically with or without invalid companions.
 
     Returns (tokens [B, L] int32 incl. BOS,
     step_logprobs [B, L-1] f32 chosen-token log-probs (or [B, L-1, V] when
@@ -248,7 +255,8 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
         return (nxt, finished, tc, mc, key), (nxt, out)
 
     tok0 = jnp.full((b,), BOS_ID, jnp.int32)
-    fin0 = jnp.zeros((b,), bool)
+    fin0 = (jnp.zeros((b,), bool) if row_valid is None
+            else ~row_valid.astype(bool))
     if full_logits:
         # parity/debug path: fixed-length scan emitting real logits at
         # every step (no early exit)

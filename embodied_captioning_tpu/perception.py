@@ -121,8 +121,10 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
 
         crops = jax.vmap(crop_one)(images_u8[img_idx], boxes_flat)
         flat = crops.astype(jnp.uint8)              # [C, s, s, 3]
+        row_valid = det.valid.reshape(e * n)[sel]
     else:
         sel = jnp.arange(e * n)
+        row_valid = det.valid.reshape(e * n)
 
         def crops_one(img, bxs):
             return crop_and_resize(img.astype(jnp.float32), bxs, crop_size)
@@ -131,9 +133,13 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
         flat = crops.reshape(e * n, crop_size, crop_size, 3
                              ).astype(jnp.uint8)
 
+    # invalid (padded) slots start finished: they emit only PAD and cost
+    # zero decode steps through generate's while_loop early exit — the
+    # reference captions only its real detections, and slot embeddings are
+    # zeroed by det.valid downstream anyway
     tokens, logprobs, lengths = CAP.generate(
         params.captioner, flat, rng, cfg.captioner,
-        max_len=cfg.captioner.max_caption_len)
+        max_len=cfg.captioner.max_caption_len, row_valid=row_valid)
 
     # sentence-embed the generated ids directly (shared vocab)
     se_len = cfg.sentence_encoder.max_len

@@ -201,3 +201,26 @@ def test_headmajor_mha_matches_legacy_spelling(monkeypatch, rng):
                                    rtol=0.06, atol=0.06)
         assert np.corrcoef(np.asarray(a, np.float32).ravel(),
                            np.asarray(b, np.float32).ravel())[0, 1] > 0.999
+
+
+def test_generate_row_valid_skips_invalid_rows(cap_params, rng):
+    """row_valid=False rows emit only PAD after BOS (length 1) and cost no
+    decode steps; valid rows decode identically with or without invalid
+    companions (greedy)."""
+    imgs = _images(rng, n=3)
+    valid = jnp.asarray([True, False, True])
+    t_all, lp_all, len_all = generate(cap_params, imgs,
+                                      jax.random.PRNGKey(0), CFG)
+    t_v, lp_v, len_v = generate(cap_params, imgs, jax.random.PRNGKey(0),
+                                CFG, row_valid=valid)
+    t_v = np.asarray(t_v)
+    assert int(len_v[1]) == 1
+    assert (t_v[1, 1:] == T.PAD_ID).all() and t_v[1, 0] == T.BOS_ID
+    # valid rows unchanged
+    np.testing.assert_array_equal(t_v[0], np.asarray(t_all)[0])
+    np.testing.assert_array_equal(t_v[2], np.asarray(t_all)[2])
+    # all-invalid: the decode while_loop never runs
+    t_none, _, len_none = generate(cap_params, imgs, jax.random.PRNGKey(0),
+                                   CFG, row_valid=jnp.zeros((3,), bool))
+    assert (np.asarray(len_none) == 1).all()
+    assert (np.asarray(t_none)[:, 1:] == T.PAD_ID).all()
