@@ -304,6 +304,12 @@ class RuntimeConfig:
     # caps at 10, ref: envs/sensors.py:54-98) — 4 matches that operating
     # point while our padded capacity is 16.
     caption_slots_per_frame: int = 0
+    # decode captions for INVALID (padded) slots too. Serving default False:
+    # padded slots start finished and cost zero decode steps (the reference
+    # captions only real detections). bench.py sets True so throughput
+    # numbers measure the full decode compute independent of how many
+    # detections the (bench-initialized) detector happens to produce.
+    caption_invalid_slots: bool = False
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 7

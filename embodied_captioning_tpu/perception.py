@@ -136,7 +136,11 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
     # invalid (padded) slots start finished: they emit only PAD and cost
     # zero decode steps through generate's while_loop early exit — the
     # reference captions only its real detections, and slot embeddings are
-    # zeroed by det.valid downstream anyway
+    # zeroed by det.valid downstream anyway. caption_invalid_slots=True
+    # (bench.py) decodes every selected slot regardless, keeping throughput
+    # numbers independent of the detector's hit rate.
+    if cfg.runtime.caption_invalid_slots:
+        row_valid = None
     tokens, logprobs, lengths = CAP.generate(
         params.captioner, flat, rng, cfg.captioner,
         max_len=cfg.captioner.max_caption_len, row_valid=row_valid)

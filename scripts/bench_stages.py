@@ -38,7 +38,8 @@ def main() -> None:
     from embodied_captioning_tpu.perception import init_perception, perceive
 
     cfg = load_config(
-        preset, overrides=[f"runtime.caption_slots_per_frame={slots}"])
+        preset, overrides=[f"runtime.caption_slots_per_frame={slots}",
+                   "runtime.caption_invalid_slots=true"])
     params = init_perception(jax.random.PRNGKey(0), cfg)
     if os.environ.get("BENCH_INT8", "1") == "1":
         from embodied_captioning_tpu.models.quantize import quantize_params
