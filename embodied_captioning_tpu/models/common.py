@@ -246,15 +246,22 @@ def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
     via a head-split weight einsum (the round-3 trace showed the
     dense->transpose form emitting 24 standalone relayout copies,
     ~3.7 ms/batch; folding the transpose into the matmul deletes them)."""
-    from .quantize import maybe_dequant
+    from .quantize import maybe_dequant, w8a8_enabled
 
-    dkv = kv_src.shape[-1]
-    dh = p["k"]["w"].shape[-1] // heads  # w: [Dkv, H*Dh]
-    wk = maybe_dequant(p["k"]["w"], compute_dtype).reshape(dkv, heads, dh)
-    bk = p["k"]["b"].reshape(heads, dh)
-    kt = (jnp.einsum("bkd,dhm->bhmk", kv_src.astype(compute_dtype), wk,
-                     preferred_element_type=jnp.float32)
-          + bk[None, :, :, None]).astype(compute_dtype)  # [B, H, Dh, K]
+    if w8a8_enabled():
+        # W8A8 mode: keep the dense() spelling so the K projection runs as
+        # an int8 matmul (dense_w8a8) like V; the relayout-copy saving below
+        # only applies to the default bf16 serving path
+        k = _split_heads(dense(p["k"], kv_src, compute_dtype), heads)
+        kt = jnp.transpose(k, (0, 2, 3, 1))  # [B, H, Dh, K]
+    else:
+        dkv = kv_src.shape[-1]
+        dh = p["k"]["w"].shape[-1] // heads  # w: [Dkv, H*Dh]
+        wk = maybe_dequant(p["k"]["w"], compute_dtype).reshape(dkv, heads, dh)
+        bk = p["k"]["b"].reshape(heads, dh)
+        kt = (jnp.einsum("bkd,dhm->bhmk", kv_src.astype(compute_dtype), wk,
+                         preferred_element_type=jnp.float32)
+              + bk[None, :, :, None]).astype(compute_dtype)  # [B, H, Dh, K]
     v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
     from .quantize import QuantizedArray, int8_kv_enabled, quantize_kv
 
@@ -301,9 +308,11 @@ def _mha_headmajor(p: Params, x: jnp.ndarray, heads: int,
     dh = q.shape[-1]
     logits = jnp.einsum("bhqm,bhkm->bhqk", q, k).astype(jnp.float32)
     logits = logits / math.sqrt(dh)
-    if causal and mask is None:
-        tq = q.shape[2]
-        mask = jnp.tril(jnp.ones((tq, tq), bool))[None, None]
+    if causal:
+        # causal=True GUARANTEES causality; an explicit mask is combined,
+        # not trusted to already imply it
+        cm = causal_mask(q.shape[2])
+        mask = cm if mask is None else (mask & cm)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
@@ -429,18 +438,22 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
             cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
 
-    if causal and mask is None and cache is None:
-        # causal=True without an explicit mask: synthesize the tril mask.
-        # Previously only the flash kernel and the head-major path honored
-        # the flag and this XLA fallback ran unmasked — all in-repo callers
-        # pass mask=causal_mask(t) explicitly, but the paths must agree.
-        tq_ = q.shape[1]
-        mask = jnp.tril(jnp.ones((tq_, tq_), bool))[None, None]
+    _pre_causal_mask_was_none = mask is None
+    if causal and cache is None:
+        # causal=True GUARANTEES causality on every path: synthesize the
+        # tril mask and AND it with any explicit mask (identical when the
+        # caller's mask is already tril, as all in-repo callers' are).
+        # Cached decoding handles causality via cache_block_causal above.
+        cm = causal_mask(q.shape[1])
+        mask = cm if mask is None else (mask & cm)
 
-    # opt-in Pallas flash path: uncached SELF-attention with no explicit
-    # mask (ViT) or a pure causal mask, on qualifying shapes
-    if cache is None and kv is None and kv_precomputed is None and (
-            mask is None or causal):
+    # opt-in Pallas flash path: uncached SELF-attention with NO explicit
+    # mask (ViT shapes, or causal=True without a mask — the kernel applies
+    # causality itself). An explicit mask disqualifies flash: the kernel
+    # cannot apply it, and silently dropping it would break causal+padding
+    # callers.
+    if (cache is None and kv is None and kv_precomputed is None
+            and (mask is None or (causal and _pre_causal_mask_was_none))):
         from ..ops.pallas.dispatch import maybe_flash_attention
 
         flash = maybe_flash_attention(

@@ -379,12 +379,15 @@ def _propose(obj: jnp.ndarray, deltas: jnp.ndarray, anchors: jnp.ndarray,
              cfg: DetectorConfig):
     """Per-image: top-k by objectness, decode, NMS -> [P, 4] proposals."""
     k = cfg.pre_nms_topk
-    # approx_max_k: TPU-native bucketed top-k (exact full sort over the
-    # 131k-anchor objectness profiled 1.66 ms/batch at 8 GB/s). The RPN
-    # candidate set is a recall heuristic — anchors missed at
-    # recall_target=0.95 are near-duplicates of kept neighbors, and the
-    # argmax-NMS below needs no input ordering. Exact on CPU (tests).
-    scores, idx = jax.lax.approx_max_k(obj, k, recall_target=0.95)
+    if cfg.approx_topk:
+        # approx_max_k: TPU-native bucketed top-k (exact full sort over the
+        # 131k-anchor objectness profiled 1.66 ms/batch at 8 GB/s). The RPN
+        # candidate set is a recall heuristic and the argmax-NMS below needs
+        # no input ordering; serving preset only — the trained/validated
+        # recipe keeps exact top_k (config.approx_topk).
+        scores, idx = jax.lax.approx_max_k(obj, k, recall_target=0.95)
+    else:
+        scores, idx = jax.lax.top_k(obj, k)
     boxes = decode_boxes(anchors[idx], deltas[idx], cfg.image_size)
     keep_idx, keep_ok = nms_topk(boxes, scores, 0.7, cfg.num_proposals)
     props = boxes[keep_idx]

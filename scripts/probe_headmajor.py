@@ -92,7 +92,12 @@ def main():
     fa = jax.jit(lambda ls, x: jnp.sum(run_a(ls, x).astype(jnp.float32)))
     fb = jax.jit(lambda ls, x: jnp.sum(run_b(ls, x).astype(jnp.float32)))
 
+    # variant A must measure the LEGACY spelling: since this probe landed,
+    # mha defaults to the head-major path, so trace A with the env override
+    # (the jit cache pins the traced program for the timing loop below)
+    os.environ["ECAP_HEADMAJOR"] = "0"
     ya = float(fa(layers, x0))
+    os.environ["ECAP_HEADMAJOR"] = "1"
     yb = float(fb(layers, x0))
     rel = abs(ya - yb) / max(abs(ya), 1e-6)
     print(f"parity: sumA={ya:.4f} sumB={yb:.4f} rel={rel:.2e}")

@@ -190,7 +190,11 @@ def test_headmajor_mha_matches_legacy_spelling(monkeypatch, rng):
     kv = jax.random.normal(k3, (2, tk, d), jnp.float32)
     mask = jnp.asarray(np.random.default_rng(0).random((2, 1, tq, tk)) > 0.3)
 
-    cases = [dict(causal=True), dict(kv=kv), dict(kv=kv, mask=mask)]
+    self_mask = jnp.asarray(
+        np.random.default_rng(1).random((2, 1, tq, tq)) > 0.3)
+    cases = [dict(causal=True), dict(kv=kv), dict(kv=kv, mask=mask),
+             # causal + explicit (non-tril) mask: both paths must AND them
+             dict(causal=True, mask=self_mask)]
     for kw in cases:
         monkeypatch.setenv("ECAP_HEADMAJOR", "1")
         a, _ = C.mha(p, x, h, compute_dtype=jnp.bfloat16, **kw)
