@@ -115,3 +115,28 @@ def pipeline_apply(stacked: Params, x: jnp.ndarray,
         in_specs=(P(axis), P()), out_specs=P(), check_vma=False)
     out = fn(stacked, xs)
     return out.reshape(b, *x.shape[1:])
+
+
+def pipeline_vit_features(params: Params, patch_tokens: jnp.ndarray,
+                          cfg, mesh: Mesh, axis: str = "pipe",
+                          microbatches: int = 4,
+                          final_ln: bool = True) -> jnp.ndarray:
+    """models/vit.vit_features with the block stack distributed over the
+    pipe axis — the integration point for encoders past single-chip HBM
+    (cfg.layers % mesh.shape[axis] == 0). Embedding/pooler stay replicated
+    (they are a rounding error next to the blocks). Matches vit_features
+    up to float reassociation (tests/test_pipeline.py)."""
+    from ..models.common import block, dense, layernorm
+
+    x = dense(params["patch"], patch_tokens)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.width))
+    x = (jnp.concatenate([cls, x], axis=1)
+         + params["pos"][None]).astype(jnp.bfloat16)
+    x = layernorm(params["ln_pre"], x)
+    stacked = shard_stacked(stack_stages(params["blocks"],
+                                         mesh.shape[axis]), mesh, axis)
+    x = pipeline_apply(
+        stacked, x, lambda p, h: block(p, h, cfg.heads)[0], mesh,
+        axis=axis, microbatches=microbatches)
+    return layernorm(params["ln_post"], x) if final_ln else x

@@ -81,3 +81,25 @@ def test_stack_stages_validates():
               for i in range(6)]
     with pytest.raises(ValueError):
         stack_stages(params, 4)
+
+
+def test_pipeline_vit_features_matches_sequential():
+    from embodied_captioning_tpu.config import VitConfig
+    from embodied_captioning_tpu.models.vit import init_vit, vit_features
+    from embodied_captioning_tpu.ops.image import patchify
+    from embodied_captioning_tpu.parallel.pipeline import (
+        pipeline_vit_features,
+    )
+
+    cfg = VitConfig(image_size=32, patch_size=8, width=64, layers=8,
+                    heads=4, pool_queries=4, pool_heads=2, embed_dim=32)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    toks = patchify(imgs, cfg.patch_size)
+    ref = vit_features(params, toks, cfg)
+    out = pipeline_vit_features(params, toks, cfg, _mesh(4),
+                                microbatches=4)
+    a = np.asarray(out, np.float32)
+    b = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)  # bf16 stream
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9999
