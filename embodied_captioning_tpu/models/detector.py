@@ -190,6 +190,13 @@ def fold_affine(params: Params, cfg: DetectorConfig) -> Params:
         raise ValueError("fold_affine requires norm='affine'")
 
     def fold(c: Params, g: Params) -> Tuple[Params, Params]:
+        from .quantize import QuantizedArray
+
+        if isinstance(c["w"], QuantizedArray):
+            raise ValueError(
+                "fold_affine must run BEFORE quantize_params (the fold "
+                "rescales float weights; per-channel int8 then absorbs the "
+                "scale losslessly)")
         w = jnp.asarray(c["w"], jnp.float32)
         cnew = {"w": w * g["g"], "b": c["b"] * g["g"] + g["b"]}
         gnew = {"g": jnp.ones_like(g["g"]), "b": jnp.zeros_like(g["b"])}

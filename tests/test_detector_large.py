@@ -150,3 +150,21 @@ def test_fold_affine_equivalence():
     assert (np.asarray(d_a.classes) == np.asarray(d_b.classes)).mean() > 0.9
     np.testing.assert_allclose(np.asarray(d_a.scores), np.asarray(d_b.scores),
                                atol=0.05)
+
+
+def test_fold_affine_then_quantize():
+    """Serving order is fold -> quantize (per-output-channel int8 absorbs
+    the folded scale losslessly); the reverse order must fail loudly."""
+    import pytest
+
+    from embodied_captioning_tpu.models.quantize import quantize_params
+
+    cfg = dataclasses.replace(BCFG, norm="affine")
+    params = DET.init_detector(jax.random.PRNGKey(4), cfg)
+    folded_q = quantize_params(DET.fold_affine(params, cfg), min_size=64)
+    imgs = jnp.asarray(np.random.default_rng(4).integers(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    det = DET.forward(folded_q, imgs, cfg)
+    assert np.isfinite(np.asarray(det.scores)).all()
+    with pytest.raises(ValueError):
+        DET.fold_affine(folded_q, cfg)
