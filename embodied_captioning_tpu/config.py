@@ -215,6 +215,12 @@ class DetectorConfig:
     # profiled 1.66 ms/batch). Flip per preset once TPU-side detection
     # quality is validated at the new setting.
     approx_topk: bool = False
+    # rewrite the 3x3-stride-2 stem conv as space-to-depth + 2x2 conv with
+    # rearranged (zero-padded) weights — mathematically EXACT, same params.
+    # The round-3 device trace shows the direct stem emitted with a
+    # pathological input layout (195 GB/s + a 1.9 ms relayout copy of the
+    # 1024^2 frame); s2d hands XLA a dense [B,S/2,S/2,12] operand instead.
+    stem_s2d: bool = False
     dtype: str = "bfloat16"
 
     @property

@@ -226,14 +226,54 @@ def fold_affine(params: Params, cfg: DetectorConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _stem_s2d(p: Params, images: jnp.ndarray,
+              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """EXACT rewrite of the 3x3-stride-2 stem conv as space-to-depth(2) +
+    2x2-stride-1 conv with rearranged weights. XLA's SAME padding for even
+    input (stride 2, k=3) is (low 0, high 1), so output(i,j) reads input
+    rows 2i..2i+2 — covered by the 2x2 window over depth-2 blocks i..i+1:
+    w2[A, B, (a,b,c)] = w[2A+a, 2B+b, c] when the tap 2A+a <= 2 exists,
+    else zero. Same logical params — flip via DetectorConfig.stem_s2d,
+    equality-tested (tests/test_detector_large.py)."""
+    from .quantize import maybe_dequant
+
+    b, s, _, c = images.shape
+    w = maybe_dequant(p["w"], jnp.float32)  # [3, 3, c, w]
+    cout = w.shape[-1]
+    # scatter the 3x3 taps into the (A, B, a, b, c) window
+    w2 = jnp.zeros((2, 2, 2, 2, c, cout), jnp.float32)
+    for ai in range(2):      # A (block row offset)
+        for a in range(2):   # a (row within block)
+            u = 2 * ai + a   # input row offset relative to 2i
+            if u > 2:
+                continue
+            for bi in range(2):
+                for bb in range(2):
+                    v = 2 * bi + bb
+                    if v > 2:
+                        continue
+                    w2 = w2.at[ai, bi, a, bb].set(w[u, v])
+    # both sides pack the depth as (a, b, c)
+    w2 = w2.reshape(2, 2, 4 * c, cout)
+    xs = images.reshape(b, s // 2, 2, s // 2, 2, c)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, s // 2, s // 2, 4 * c)
+    y = jax.lax.conv_general_dilated(
+        xs.astype(compute_dtype), w2.astype(compute_dtype),
+        window_strides=(1, 1), padding=((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (y.astype(jnp.float32) + p["b"]).astype(compute_dtype)
+
+
 def backbone_fpn(params: Params, images: jnp.ndarray, cfg: DetectorConfig
                  ) -> List[jnp.ndarray]:
     """float images [B, S, S, 3] (0..1, normalized outside) -> FPN levels
     at `cfg.fpn_strides`, each [B, S/s, S/s, fpn_dim]. The finest returned
     level (index 0) is where ROI pooling happens."""
     gn = norm_fn(cfg)
-    x = jax.nn.relu(gn(params["stem_gn"],
-                       conv(params["stem"], images, stride=2)))
+    stem = (_stem_s2d(params["stem"], images) if cfg.stem_s2d
+            else conv(params["stem"], images, stride=2))
+    x = jax.nn.relu(gn(params["stem_gn"], stem))
     # stride-2 max pool so stage outputs sit at strides 4/8/16/32 (matching
     # the anchor grid)
     # init value must be a CONCRETE scalar of the operand dtype (a traced

@@ -168,3 +168,22 @@ def test_fold_affine_then_quantize():
     assert np.isfinite(np.asarray(det.scores)).all()
     with pytest.raises(ValueError):
         DET.fold_affine(folded_q, cfg)
+
+
+def test_stem_s2d_exact():
+    """Space-to-depth stem rewrite is bit-exact vs the strided stem conv,
+    and the full forward matches under DetectorConfig.stem_s2d."""
+    params = DET.init_detector(jax.random.PRNGKey(5), BCFG)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 64, 3))
+    a = np.asarray(DET.conv(params["stem"], x, stride=2), np.float32)
+    b = np.asarray(DET._stem_s2d(params["stem"], x), np.float32)
+    np.testing.assert_array_equal(a, b)
+    imgs = jnp.asarray(np.random.default_rng(5).integers(
+        0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    d_a = DET.forward(params, imgs, BCFG)
+    cfg2 = dataclasses.replace(BCFG, stem_s2d=True)
+    d_b = DET.forward(params, imgs, cfg2)
+    np.testing.assert_array_equal(np.asarray(d_a.boxes),
+                                  np.asarray(d_b.boxes))
+    np.testing.assert_array_equal(np.asarray(d_a.valid),
+                                  np.asarray(d_b.valid))
