@@ -270,8 +270,24 @@ def precompute_kv(p: Params, kv_src: jnp.ndarray, heads: int,
         # decode loop re-reads every layer's K/V each step, so this halves
         # the loop's dominant HBM traffic (the bitsandbytes-serving analog
         # for activations; ECAP_INT8_KV=0 reverts)
-        return quantize_kv(kt, v)
+        q = quantize_kv(kt, v)
+        if cross_v_headmajor():
+            # [B, K, H, Dh] -> [B, H, K, Dh]; v_scale is per (B, H, Dh)
+            # so it is unaffected by the transpose
+            q = q._replace(v=jnp.transpose(q.v, (0, 2, 1, 3)))
+        return q
+    if cross_v_headmajor():
+        v = jnp.transpose(v, (0, 2, 1, 3))
     return kt.astype(compute_dtype), v.astype(compute_dtype)
+
+
+def cross_v_headmajor() -> bool:
+    """Store the precomputed cross-attention V head-major [B, H, K, Dh]
+    instead of [B, K, H, Dh] (lazy env knob, consumed consistently by
+    precompute_kv and mha). The round-3 device trace shows the decode PV
+    reading the [B, K, H, Dh] int8 V at 275 GB/s — strided per-head — vs
+    620 GB/s for the pre-transposed K score op (scripts/probe_crossv.py)."""
+    return _os.environ.get("ECAP_CROSS_V_HEADMAJOR", "0") == "1"
 
 
 def _proj_headmajor(p_one: Params, x: jnp.ndarray, heads: int,
@@ -491,12 +507,23 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
     # denominator sums the SAME rounded probabilities the PV numerator uses
     # (f32 accumulation), so rows still sum to exactly 1 in bf16 mode
     denom = jnp.sum(pexp.astype(jnp.float32), axis=-1)  # f32 [B, H, Tq]
-    out = jnp.einsum("bhqk,bkhd->bqhd", pexp.astype(compute_dtype),
-                     v.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
-    if kv_scales is not None:
-        out = out * kv_scales[1][:, None, :, :]
-    out = out / jnp.moveaxis(denom, 1, 2)[..., None]
+    if kv_precomputed is not None and cross_v_headmajor():
+        # head-major V [B, H, K, Dh]: contiguous per-head reads in the
+        # decode PV (see cross_v_headmajor)
+        out = jnp.einsum("bhqk,bhkd->bhqd", pexp.astype(compute_dtype),
+                         v.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        if kv_scales is not None:
+            out = out * kv_scales[1][:, :, None, :]
+        out = out / denom[..., None]
+        out = jnp.transpose(out, (0, 2, 1, 3))
+    else:
+        out = jnp.einsum("bhqk,bkhd->bqhd", pexp.astype(compute_dtype),
+                         v.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        if kv_scales is not None:
+            out = out * kv_scales[1][:, None, :, :]
+        out = out / jnp.moveaxis(denom, 1, 2)[..., None]
     b, tq2, h, d2 = out.shape
     out = out.reshape(b, tq2, h * d2).astype(compute_dtype)
     return dense(p["o"], out, compute_dtype), cache

@@ -228,3 +228,21 @@ def test_generate_row_valid_skips_invalid_rows(cap_params, rng):
                                    CFG, row_valid=jnp.zeros((3,), bool))
     assert (np.asarray(len_none) == 1).all()
     assert (np.asarray(t_none)[:, 1:] == T.PAD_ID).all()
+
+
+def test_cross_v_headmajor_parity(cap_params, rng, monkeypatch):
+    """ECAP_CROSS_V_HEADMAJOR=1 stores the precomputed cross V head-major;
+    greedy captions must match the default layout exactly (float path) for
+    both float and int8-quantized serving params."""
+    from embodied_captioning_tpu.models.quantize import quantize_params
+
+    imgs = _images(rng, n=2)
+    qparams = quantize_params(cap_params)
+    for params in (cap_params, qparams):
+        monkeypatch.delenv("ECAP_CROSS_V_HEADMAJOR", raising=False)
+        t_a, lp_a, _ = generate(params, imgs, jax.random.PRNGKey(0), CFG)
+        monkeypatch.setenv("ECAP_CROSS_V_HEADMAJOR", "1")
+        t_b, lp_b, _ = generate(params, imgs, jax.random.PRNGKey(0), CFG)
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+        np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
+                                   rtol=2e-2, atol=2e-2)
