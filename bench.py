@@ -45,6 +45,31 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    # the axon tunnel occasionally drops (observed failure modes: both a
+    # RuntimeError AND an indefinite hang in backend init). Probe in a
+    # TIMED SUBPROCESS before touching jax in this process — a failed init
+    # can poison the in-process backend cache, and a hang can't be
+    # recovered at all. Skipped once the probe succeeds.
+    import subprocess
+
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "3"))
+    for attempt in range(retries):
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import embodied_captioning_tpu, jax; jax.devices()"],
+                timeout=300, cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            break
+        print(f"[bench] TPU probe failed (attempt {attempt + 1}/{retries}, "
+              f"rc={rc}); retrying in 60 s", file=sys.stderr, flush=True)
+        time.sleep(60)
+    else:
+        raise SystemExit("TPU backend unavailable after retries")
+
     cfg = load_config(
         preset,
         overrides=[f"runtime.caption_slots_per_frame={caption_slots}",
