@@ -412,6 +412,19 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         else:
             kt, v = kv_precomputed  # kt: [B, H, Dh, Tk]; v: [B, Tk, H, Dh]
         k = None
+        # fused single-query cross-attention kernel (opt-in; needs the
+        # head-major V layout so the kernel reads V contiguously per head)
+        if (x.shape[1] == 1 and mask is None and not causal
+                and cross_v_headmajor()):
+            from ..ops.pallas.dispatch import maybe_decode_cross_attention
+
+            fused = maybe_decode_cross_attention(
+                q[:, 0].astype(compute_dtype), kt, v,
+                kv_scales[0] if kv_scales is not None else None,
+                kv_scales[1] if kv_scales is not None else None)
+            if fused is not None:
+                out = fused.reshape(x.shape[0], 1, -1).astype(compute_dtype)
+                return dense(p["o"], out, compute_dtype), None
     elif cache is None and kv is None and _fuse_qkv_enc():
         from .quantize import maybe_dequant
 
@@ -431,6 +444,7 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
         v = _split_heads(dense(p["v"], kv_src, compute_dtype), heads)
         kt = None
 
+    _had_explicit_mask = mask is not None
     if cache is not None:
         tq = q.shape[1]
         old_index = cache.index
@@ -453,6 +467,17 @@ def mha(p: Params, x: jnp.ndarray, heads: int,
             # full visibility over everything written (prefix-LM priming)
             cache_mask = pos < cache.index
         mask = cache_mask if mask is None else (mask & cache_mask)
+        # fused single-token cached self-attention kernel (opt-in): the
+        # kernel applies the `<= old_index` position mask itself,
+        # equivalent to cache_block_causal at tq == 1
+        if tq == 1 and not _had_explicit_mask and cache_block_causal:
+            from ..ops.pallas.dispatch import maybe_decode_self_attention
+
+            fused = maybe_decode_self_attention(
+                q[:, 0].astype(compute_dtype), kt, v, old_index)
+            if fused is not None:
+                out = fused.reshape(q.shape[0], 1, -1).astype(compute_dtype)
+                return dense(p["o"], out, compute_dtype), cache
 
     _pre_causal_mask_was_none = mask is None
     if causal and cache is None:

@@ -1,0 +1,140 @@
+"""Fused single-query decode attention (TPU Pallas).
+
+The round-3 device trace attributes the 29-step decode loop (56 ms of the
+226 ms fused batch) mostly to per-op overhead on tiny tensors: each
+layer-step issues 4-6 separate XLA ops per attention (scores multiply-
+reduce, softmax max/exp/sum, PV multiply-reduce, normalize) of 0.2-13 MB
+each, every one paying its own tile setup. These kernels fuse the whole
+single-query attention into one op:
+
+  decode_self_attention: q [B,H,Dh] x KV cache (kt [B,H,Dh,T] head-major,
+      v [B,T,H,Dh] — the exact mha cache layouts, no relayout needed) with
+      positions > pos masked out.
+  decode_cross_attention: q [B,H,Dh] x precomputed cross K/V (kt
+      [B,H,Dh,K], v HEAD-MAJOR [B,H,K,Dh] — requires
+      ECAP_CROSS_V_HEADMAJOR), int8 or bf16, dequant fused.
+
+Whole-problem VMEM residency: at the serving decode shapes the largest
+case (cross, int8, B=64) moves ~25 MB of K/V per layer-step, gridded over
+B so each step holds ~3 MB. All contractions are VPU multiply+reduce over
+the sublane dim (single-query attention has no MXU-shaped matmul).
+
+Opt-in via ECAP_USE_PALLAS=1 like the other kernels (dispatch.py);
+parity-tested in interpret mode on CPU (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _self_attn_kernel(pos_ref, q_ref, kt_ref, v_ref, o_ref):
+    """One grid step = `bb` batch rows. q [bb,H,Dh] f32; kt [bb,H,Dh,T];
+    v [bb,T,H,Dh]; out [bb,H,Dh] f32 (normalized)."""
+    bb, h, dh = q_ref.shape
+    t = kt_ref.shape[-1]
+    pos = pos_ref[0]
+    q = q_ref[:].astype(jnp.float32)          # [bb, H, Dh]
+    kt = kt_ref[:].astype(jnp.float32)        # [bb, H, Dh, T]
+    s = jnp.sum(q[..., None] * kt, axis=2)    # [bb, H, T] (reduce sublanes)
+    s = s / (dh ** 0.5)
+    live = jax.lax.broadcasted_iota(jnp.int32, (bb, h, t), 2) <= pos
+    s = jnp.where(live, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)                        # [bb, H, T]
+    denom = jnp.sum(p, axis=-1)               # [bb, H]
+    v = v_ref[:].astype(jnp.float32)          # [bb, T, H, Dh]
+    pt = jnp.transpose(p, (0, 2, 1))          # [bb, T, H]
+    out = jnp.sum(pt[..., None] * v, axis=1)  # [bb, H, Dh]
+    o_ref[:] = out / denom[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
+def decode_self_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
+                          pos: jnp.ndarray, block_b: int = 0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """q [B,H,Dh] (any float dtype); kt [B,H,Dh,T]; v [B,T,H,Dh];
+    pos scalar int32 (keys at positions > pos are masked).
+    Returns normalized attention output [B,H,Dh] f32."""
+    b, h, dh = q.shape
+    t = kt.shape[-1]
+    bb = block_b or b
+    grid = (b // bb,)
+    pos_arr = jnp.full((1,), pos, jnp.int32)
+    return pl.pallas_call(
+        _self_attn_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bb, h, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((bb, h, dh, t), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((bb, t, h, dh), lambda i, *_: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bb, h, dh), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), jnp.float32),
+        interpret=interpret,
+    )(pos_arr, q, kt, v)
+
+
+def _cross_attn_kernel(q_ref, kt_ref, v_ref, ks_ref, vs_ref, o_ref):
+    """One grid step = `bb` batch rows. q [bb,H,Dh] f32; kt [bb,H,Dh,K]
+    (int8 or float); v [bb,H,K,Dh] head-major; scales [bb,H,K]/[bb,H,Dh]
+    (all-ones when K/V are float)."""
+    bb, h, dh = q_ref.shape
+    k = kt_ref.shape[-1]
+    q = q_ref[:].astype(jnp.float32)
+    kt = kt_ref[:].astype(jnp.float32)         # [bb, H, Dh, K]
+    s = jnp.sum(q[..., None] * kt, axis=2)     # [bb, H, K]
+    s = s / (dh ** 0.5) * ks_ref[:].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1)                # [bb, H]
+    v = v_ref[:].astype(jnp.float32)           # [bb, H, K, Dh]
+    out = jnp.sum(p[..., None] * v, axis=2)    # [bb, H, Dh]
+    out = out * vs_ref[:].astype(jnp.float32)
+    o_ref[:] = out / denom[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
+def decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
+                           kt_scale: Optional[jnp.ndarray] = None,
+                           v_scale: Optional[jnp.ndarray] = None,
+                           block_b: int = 8,
+                           interpret: bool = False) -> jnp.ndarray:
+    """q [B,H,Dh]; kt [B,H,Dh,K] (int8/bf16); v [B,H,K,Dh] HEAD-MAJOR
+    (int8/bf16); optional int8 scales kt_scale [B,H,K], v_scale [B,H,Dh].
+    Returns normalized attention output [B,H,Dh] f32 (softmax scale
+    applied to scores AFTER the 1/sqrt(dh), matching mha's int8-KV path).
+    """
+    b, h, dh = q.shape
+    k = kt.shape[-1]
+    if kt_scale is None:
+        kt_scale = jnp.ones((b, h, k), jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones((b, h, dh), jnp.float32)
+    bb = block_b if b % block_b == 0 else b
+    grid = (b // bb,)
+    return pl.pallas_call(
+        _cross_attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, h, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, h, dh, k), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, k, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, h, dh), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, h, dh), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), jnp.float32),
+        interpret=interpret,
+    )(q, kt, v, kt_scale, v_scale)

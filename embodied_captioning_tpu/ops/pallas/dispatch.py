@@ -18,6 +18,14 @@ def pallas_enabled() -> bool:
     return os.environ.get("ECAP_USE_PALLAS", "0") == "1"
 
 
+def _interpret() -> bool:
+    """Kernels lower for TPU only; on CPU (tests, ECAP_PLATFORM=cpu) run
+    the interpreter so the opt-in paths stay correct everywhere."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def maybe_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           causal: bool = False) -> Optional[jnp.ndarray]:
     """[B, H, T, D] attention via the Pallas kernels if enabled and the
@@ -33,14 +41,17 @@ def maybe_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     if t <= MAX_SINGLE_BLOCK_T:
         # single-block kernel takes any T directly — no padding FLOPs
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal,
+                               interpret=_interpret())
     block = 128
     t_pad = ((t + block - 1) // block) * block
     if t_pad == t:
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal,
+                               interpret=_interpret())
     pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
     out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
-                          causal=causal, valid_len=t)
+                          causal=causal, valid_len=t,
+                          interpret=_interpret())
     return out[:, :, :t]
 
 
@@ -53,3 +64,53 @@ def maybe_fused_preprocess(img_u8: jnp.ndarray, out_size: int, patch: int
     from .preprocess import fused_preprocess
 
     return fused_preprocess(img_u8, out_size, patch)
+
+
+def _block_rows(b: int, per_row_bytes: int, budget: int = 8 << 20) -> int:
+    """Largest divisor of b whose K/V footprint fits the VMEM budget."""
+    bb = b
+    while bb > 1 and bb * per_row_bytes > budget:
+        # largest proper divisor
+        for cand in range(bb // 2, 0, -1):
+            if b % cand == 0:
+                bb = cand
+                break
+    return max(bb, 1)
+
+
+def maybe_decode_self_attention(q: jnp.ndarray, kt: jnp.ndarray,
+                                v: jnp.ndarray, pos) -> Optional[jnp.ndarray]:
+    """Fused single-query cached self-attention if enabled and the shape
+    qualifies. q [B,H,Dh]; kt [B,H,Dh,T]; v [B,T,H,Dh]; pos scalar.
+    None -> caller uses the XLA op-per-stage path."""
+    if not pallas_enabled():
+        return None
+    b, h, dh = q.shape
+    t = kt.shape[-1]
+    if dh % 8 != 0:
+        return None
+    from .decode_attention import decode_self_attention
+
+    per_row = h * dh * t * kt.dtype.itemsize * 2
+    return decode_self_attention(q, kt, v, pos,
+                                 block_b=_block_rows(b, per_row),
+                                 interpret=_interpret())
+
+
+def maybe_decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray,
+                                 v: jnp.ndarray, kt_scale=None,
+                                 v_scale=None) -> Optional[jnp.ndarray]:
+    """Fused single-query cross-attention (head-major V required).
+    q [B,H,Dh]; kt [B,H,Dh,K]; v [B,H,K,Dh]."""
+    if not pallas_enabled():
+        return None
+    b, h, dh = q.shape
+    k = kt.shape[-1]
+    if dh % 8 != 0:
+        return None
+    from .decode_attention import decode_cross_attention
+
+    per_row = h * dh * k * kt.dtype.itemsize * 2
+    return decode_cross_attention(q, kt, v, kt_scale, v_scale,
+                                  block_b=_block_rows(b, per_row),
+                                  interpret=_interpret())

@@ -138,3 +138,87 @@ def test_layernorm_custom_vjp_matches_ref_grads(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_decode_self_attention_parity():
+    """Fused single-query cached self-attention == the mha reference math
+    (interpret mode)."""
+    from embodied_captioning_tpu.ops.pallas.decode_attention import (
+        decode_self_attention,
+    )
+
+    b, h, dh, t = 4, 3, 8, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, dh)).astype(np.float32))
+    kt = jnp.asarray(rng.standard_normal((b, h, dh, t)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    pos = 9
+    out = decode_self_attention(q, kt, v, jnp.int32(pos), interpret=True)
+    # reference
+    s = jnp.einsum("bhd,bhdt->bht", q, kt) / np.sqrt(dh)
+    live = np.arange(t) <= pos
+    s = jnp.where(jnp.asarray(live)[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bht,bthd->bhd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_decode_cross_attention_parity():
+    """Fused single-query cross-attention (head-major V, int8 + scales) ==
+    the mha int8-KV reference math (interpret mode)."""
+    from embodied_captioning_tpu.ops.pallas.decode_attention import (
+        decode_cross_attention,
+    )
+
+    b, h, dh, k = 4, 3, 8, 32
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, dh)).astype(np.float32))
+    kt8 = jnp.asarray(rng.integers(-127, 127, (b, h, dh, k)).astype(np.int8))
+    v8 = jnp.asarray(rng.integers(-127, 127, (b, h, k, dh)).astype(np.int8))
+    ks = jnp.asarray((rng.random((b, h, k)) * 0.02 + 0.001).astype(np.float32))
+    vs = jnp.asarray((rng.random((b, h, dh)) * 0.02 + 0.001).astype(np.float32))
+    out = decode_cross_attention(q, kt8, v8, ks, vs, block_b=2,
+                                 interpret=True)
+    s = jnp.einsum("bhd,bhdk->bhk", q, kt8.astype(jnp.float32)) / np.sqrt(dh)
+    s = s * ks
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhk,bhkd->bhd", p, v8.astype(jnp.float32)) * vs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # float path (no scales)
+    outf = decode_cross_attention(q, kt8.astype(jnp.float32) * 0.01,
+                                  v8.astype(jnp.float32) * 0.01,
+                                  interpret=True)
+    sf = jnp.einsum("bhd,bhdk->bhk", q, kt8.astype(jnp.float32) * 0.01
+                    ) / np.sqrt(dh)
+    pf = jax.nn.softmax(sf, axis=-1)
+    reff = jnp.einsum("bhk,bhkd->bhd", pf, v8.astype(jnp.float32) * 0.01)
+    np.testing.assert_allclose(np.asarray(outf), np.asarray(reff),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_generate_with_decode_kernels_matches_xla(monkeypatch):
+    """ECAP_USE_PALLAS=1 + ECAP_CROSS_V_HEADMAJOR=1 routes the decode's
+    self- and cross-attention through the fused kernels (interpreted on
+    CPU); greedy captions must match the XLA path."""
+    from embodied_captioning_tpu.config import CaptionerConfig
+    from embodied_captioning_tpu.models.captioner import (
+        generate, init_captioner,
+    )
+    from embodied_captioning_tpu.models.quantize import quantize_params
+
+    cfg = CaptionerConfig.tiny()
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray((rng.random((2, 64, 64, 3)) * 255).astype(np.uint8))
+    for p in (params, quantize_params(params)):
+        monkeypatch.delenv("ECAP_USE_PALLAS", raising=False)
+        monkeypatch.delenv("ECAP_CROSS_V_HEADMAJOR", raising=False)
+        t_ref, lp_ref, _ = generate(p, imgs, jax.random.PRNGKey(0), cfg)
+        monkeypatch.setenv("ECAP_USE_PALLAS", "1")
+        monkeypatch.setenv("ECAP_CROSS_V_HEADMAJOR", "1")
+        t_k, lp_k, _ = generate(p, imgs, jax.random.PRNGKey(0), cfg)
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_k))
+        np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_k),
+                                   rtol=5e-2, atol=5e-2)
