@@ -118,7 +118,8 @@ def main() -> None:
                 y = jax.nn.relu(h + sc)
         return jnp.sum(y.astype(jnp.float32))
 
-    prev = timed("prefix: stem only", prefix, params, images, 0)
+    prev = timed("prefix: stem only",
+                 lambda p, x: prefix(p, x, 0), params, images)
     for i in range(1, len(cfg.backbone_depths) + 1):
         cur = timed(f"prefix: through res{i + 1}",
                     lambda p, x, i=i: prefix(p, x, i), params, images)
@@ -132,6 +133,26 @@ def main() -> None:
         folded = DET.fold_affine(params, cfg)
         timed("backbone+FPN (affine folded)",
               lambda p, x: full(p, x), folded, images)
+
+    # --- space-to-depth stem variant (exact rewrite) ------------------------
+    import dataclasses
+
+    cfg_s2d = dataclasses.replace(cfg, stem_s2d=True)
+
+    def full_s2d(p, x):
+        fpn = DET.backbone_fpn(p, x, cfg_s2d)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in fpn)
+
+    timed("backbone+FPN (s2d stem)", full_s2d, params, images)
+
+    def stem_s2d_only(p, x):
+        y = jax.nn.relu(gn(p["stem_gn"], DET._stem_s2d(p["stem"], x)))
+        neg = y.dtype.type(-jnp.inf)
+        y = jax.lax.reduce_window(y, neg, jax.lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1), "SAME")
+        return jnp.sum(y.astype(jnp.float32))
+
+    timed("stem+pool (s2d)", stem_s2d_only, params, images)
 
     # rough roofline context
     print(f"  fence-corrected current: {base - fence:.2f} ms", flush=True)
