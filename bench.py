@@ -64,11 +64,11 @@ def main() -> None:
             rc = -1
         if rc == 0:
             break
+        if attempt + 1 >= retries:
+            raise SystemExit("TPU backend unavailable after retries")
         print(f"[bench] TPU probe failed (attempt {attempt + 1}/{retries}, "
               f"rc={rc}); retrying in 60 s", file=sys.stderr, flush=True)
         time.sleep(60)
-    else:
-        raise SystemExit("TPU backend unavailable after retries")
 
     cfg = load_config(
         preset,

@@ -36,6 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (so a non-dividing block_b
+    degrades to finer gridding, never to a whole-batch VMEM blowup)."""
+    cap = max(1, min(cap, n))
+    for d in range(cap, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def _self_attn_kernel(pos_ref, q_ref, kt_ref, v_ref, o_ref):
     """One grid step = `bb` batch rows. q [bb,H,Dh] f32; kt [bb,H,Dh,T];
     v [bb,T,H,Dh]; out [bb,H,Dh] f32 (normalized)."""
@@ -66,7 +76,7 @@ def decode_self_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
     Returns normalized attention output [B,H,Dh] f32."""
     b, h, dh = q.shape
     t = kt.shape[-1]
-    bb = block_b or b
+    bb = _largest_divisor_at_most(b, block_b or b)
     grid = (b // bb,)
     pos_arr = jnp.full((1,), pos, jnp.int32)
     return pl.pallas_call(
@@ -122,7 +132,7 @@ def decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
         kt_scale = jnp.ones((b, h, k), jnp.float32)
     if v_scale is None:
         v_scale = jnp.ones((b, h, dh), jnp.float32)
-    bb = block_b if b % block_b == 0 else b
+    bb = _largest_divisor_at_most(b, block_b)
     grid = (b // bb,)
     return pl.pallas_call(
         _cross_attn_kernel,

@@ -20,7 +20,7 @@ backward pipeline).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -120,12 +120,18 @@ def pipeline_apply(stacked: Params, x: jnp.ndarray,
 def pipeline_vit_features(params: Params, patch_tokens: jnp.ndarray,
                           cfg, mesh: Mesh, axis: str = "pipe",
                           microbatches: int = 4,
-                          final_ln: bool = True) -> jnp.ndarray:
+                          final_ln: bool = True,
+                          stacked: Optional[Params] = None) -> jnp.ndarray:
     """models/vit.vit_features with the block stack distributed over the
     pipe axis — the integration point for encoders past single-chip HBM
     (cfg.layers % mesh.shape[axis] == 0). Embedding/pooler stay replicated
     (they are a rounding error next to the blocks). Matches vit_features
-    up to float reassociation (tests/test_pipeline.py)."""
+    up to float reassociation (tests/test_pipeline.py).
+
+    Pass `stacked` = shard_stacked(stack_stages(params["blocks"], S), mesh)
+    prepared ONCE at init — restacking + device_put of a multi-GB block
+    stack per forward would dwarf the pipelined compute. The None default
+    restacks per call (convenience/tests only)."""
     from ..models.common import block, dense, layernorm
 
     x = dense(params["patch"], patch_tokens)
@@ -134,8 +140,9 @@ def pipeline_vit_features(params: Params, patch_tokens: jnp.ndarray,
     x = (jnp.concatenate([cls, x], axis=1)
          + params["pos"][None]).astype(jnp.bfloat16)
     x = layernorm(params["ln_pre"], x)
-    stacked = shard_stacked(stack_stages(params["blocks"],
-                                         mesh.shape[axis]), mesh, axis)
+    if stacked is None:
+        stacked = shard_stacked(stack_stages(params["blocks"],
+                                             mesh.shape[axis]), mesh, axis)
     x = pipeline_apply(
         stacked, x, lambda p, h: block(p, h, cfg.heads)[0], mesh,
         axis=axis, microbatches=microbatches)

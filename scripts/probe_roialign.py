@@ -88,20 +88,22 @@ def main() -> None:
 
     fns = {"A rows-first (current)": var_a, "B cols-first": var_b,
            "C swapped-out": var_c}
-    ref = None
+    # elementwise parity on the FULL outputs (a scalar-sum check would let
+    # a permuted/transposed output cancel to the same total), computed on
+    # a small sub-batch to keep the host transfer bounded
+    ref = np.asarray(var_a(feat[:2], wy[:2], wx[:2]), np.float32)
     for name, f in fns.items():
+        out = np.asarray(f(feat[:2], wy[:2], wx[:2]), np.float32)
+        maxd = np.abs(out - ref).max()
         jf = jax.jit(lambda fe, y, x, f=f: jnp.sum(f(fe, y, x)))
-        v = float(jf(feat, wy, wx))
-        if ref is None:
-            ref = v
-        rel = abs(v - ref) / max(abs(ref), 1e-6)
+        _ = float(jf(feat, wy, wx))  # compile + warm
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             _ = float(jf(feat, wy, wx))
             ts.append(time.perf_counter() - t0)
         ms = 1000.0 * sorted(ts)[len(ts) // 2]
-        print(f"  {name:<24s} {ms:8.2f} ms  (rel vs A {rel:.2e})",
+        print(f"  {name:<24s} {ms:8.2f} ms  (maxdiff vs A {maxd:.2e})",
               flush=True)
 
 

@@ -239,10 +239,16 @@ def test_cross_v_headmajor_parity(cap_params, rng, monkeypatch):
     imgs = _images(rng, n=2)
     qparams = quantize_params(cap_params)
     for params in (cap_params, qparams):
+        # env flags are read at TRACE time and generate is module-level
+        # @jax.jit: clear the jit cache around each flip or the second call
+        # silently reruns the first executable (vacuous test)
         monkeypatch.delenv("ECAP_CROSS_V_HEADMAJOR", raising=False)
+        jax.clear_caches()
         t_a, lp_a, _ = generate(params, imgs, jax.random.PRNGKey(0), CFG)
         monkeypatch.setenv("ECAP_CROSS_V_HEADMAJOR", "1")
+        jax.clear_caches()
         t_b, lp_b, _ = generate(params, imgs, jax.random.PRNGKey(0), CFG)
         np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
         np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
                                    rtol=2e-2, atol=2e-2)
+    jax.clear_caches()

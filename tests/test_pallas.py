@@ -213,12 +213,18 @@ def test_generate_with_decode_kernels_matches_xla(monkeypatch):
     rng = np.random.default_rng(0)
     imgs = jnp.asarray((rng.random((2, 64, 64, 3)) * 255).astype(np.uint8))
     for p in (params, quantize_params(params)):
+        # generate is module-level @jax.jit and env flags are read at TRACE
+        # time: flipping the env without clearing the jit cache would rerun
+        # the previously traced executable and make this test vacuous
         monkeypatch.delenv("ECAP_USE_PALLAS", raising=False)
         monkeypatch.delenv("ECAP_CROSS_V_HEADMAJOR", raising=False)
+        jax.clear_caches()
         t_ref, lp_ref, _ = generate(p, imgs, jax.random.PRNGKey(0), cfg)
         monkeypatch.setenv("ECAP_USE_PALLAS", "1")
         monkeypatch.setenv("ECAP_CROSS_V_HEADMAJOR", "1")
+        jax.clear_caches()
         t_k, lp_k, _ = generate(p, imgs, jax.random.PRNGKey(0), cfg)
         np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_k))
         np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_k),
                                    rtol=5e-2, atol=5e-2)
+    jax.clear_caches()  # don't leak kernel-path traces to other tests
