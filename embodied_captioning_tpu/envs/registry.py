@@ -180,4 +180,66 @@ class VizEnv(EmbodiedEnv):
         return self.observe(), 0.0, done, {"replay_step": self._cursor}
 
 
-register_env("Viz-v1")(VizEnv)
+@register_env("Viz-v1")
+class VizTrajectoryEnv(VizEnv):
+    """SEAL-style replay visualization (ref: env_viz.py:234-412 VizSEAL):
+    on top of Viz-v0's npz frame replay it (1) attaches the
+    class-normalized top-down semantic map to observations as 'pcd' (the
+    reference's `pcd.current_connected_pcd / len(BBSense.CLASSES)`),
+    (2) tracks the agent trajectory from the RECORDED positions, and
+    (3) writes a per-step top-down trajectory frame trajectory_%04d.png
+    (the reference's maps.colorize_draw_agent... + cv2.imwrite,
+    ref: env_viz.py:292-330)."""
+
+    def __init__(self, cfg: ExperimentConfig, env_id: int = 0, **kw):
+        import os
+
+        # set before super().__init__ — the base constructor resets, which
+        # routes through our overridden reset/_augment
+        self._traj_cells = []
+        out = cfg.runtime.obs_dir or cfg.sim.replay_dir
+        self._viz_dir = os.path.join(out, "viz")
+        super().__init__(cfg, env_id=env_id, **kw)
+
+    def reset(self):
+        obs = super().reset()
+        self._traj_cells = []
+        return self._augment(obs)
+
+    def _position_cell(self):
+        """Map-grid (row=z, col=x) cell of the RECORDED agent position for
+        the current replay step, if a position modality was stored."""
+        ep = self._replay_episode
+        step = self._steps[min(self._cursor, len(self._steps) - 1)]
+        for cam in self.loader.cameras(ep):
+            mods = self.loader.paths[ep][cam]
+            if "position" in mods and step in mods["position"]:
+                data = self.loader.get_sample(ep, cam, "position", step).data
+                pos = np.asarray(data.position if hasattr(data, "position")
+                                 else data["position"], np.float64)
+                _, lower = self.get_upper_and_lower_map_bounds()
+                res = self.cfg.map.voxel_size
+                return (int((pos[2] - lower[2]) / res),
+                        int((pos[0] - lower[0]) / res))
+        return None
+
+    def _augment(self, obs):
+        import os
+
+        from ..config import NUM_CLASSES
+        from ..utils.image_io import render_topdown, write_png
+
+        maps = self.get_and_update_disagreement_map()  # [Z, X, 4]
+        cell = self._position_cell()
+        if cell is not None:
+            self._traj_cells.append(cell)
+        img = render_topdown(np.asarray(maps), self._traj_cells, cell)
+        os.makedirs(self._viz_dir, exist_ok=True)
+        write_png(os.path.join(self._viz_dir,
+                               f"trajectory_{self.step_count:04d}.png"), img)
+        obs["pcd"] = np.asarray(maps[..., 2], np.float32) / (NUM_CLASSES + 1)
+        return obs
+
+    def step(self, action):
+        obs, reward, done, info = super().step(action)
+        return self._augment(obs), reward, done, info

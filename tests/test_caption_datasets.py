@@ -72,3 +72,42 @@ def test_viz_env_replays_store(tmp_path):
         obs, _, done, info = env.step(1)
         steps += 1
     assert done and steps == 3
+
+
+def test_viz_v1_trajectory_env(tmp_path):
+    """Viz-v1 (ref VizSEAL): replays frames, attaches the class-normalized
+    topdown semantic map as obs['pcd'], tracks recorded positions, and
+    writes per-step trajectory PNGs."""
+    import glob
+
+    from embodied_captioning_tpu.config import load_config
+    from embodied_captioning_tpu.envs.registry import make_env
+    from embodied_captioning_tpu.utils.obs_store import save_obs
+
+    rng = np.random.default_rng(1)
+    obs_dir = tmp_path / "obs"
+    for step in range(3):
+        save_obs(str(obs_dir), 0, {
+            "rgb": (rng.random((24, 24, 3)) * 255).astype(np.uint8),
+            "depth": rng.random((24, 24)).astype(np.float32),
+            "position": {"position": np.asarray([1.0 + step, 0.0, 2.0]),
+                         "orientation": np.asarray([1.0, 0.0, 0.0, 0.0])},
+        }, step)
+    viz_dir = tmp_path / "out"
+    cfg = load_config("tiny", overrides=[
+        f"sim.replay_dir={obs_dir}", f"runtime.obs_dir={viz_dir}",
+        "sensors.height=24", "sensors.width=24", "sim.scene_size=6.0",
+        "sim.num_objects=2", "map.voxel_size=0.2"])
+    env = make_env("Viz-v1", cfg)
+    obs = env.reset()
+    assert obs["pcd"].shape == tuple(
+        [cfg.map.grid[2], cfg.map.grid[0]])
+    assert float(np.max(obs["pcd"])) <= 1.0
+    done = False
+    while not done:
+        obs, _, done, _ = env.step(1)
+    pngs = sorted(glob.glob(str(viz_dir / "viz" / "trajectory_*.png")))
+    assert len(pngs) >= 3
+    raw = open(pngs[-1], "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in raw
+    assert len(env._traj_cells) >= 3
