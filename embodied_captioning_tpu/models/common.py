@@ -607,6 +607,14 @@ def block(p: Params, x: jnp.ndarray, heads: int,
         h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
                    compute_dtype=compute_dtype, kv_precomputed=cross_kv)
         x = x + h
+    # fused residual+LN+MLP for single-token cached decoding (opt-in)
+    if (cache is not None and x.shape[1] == 1
+            and compute_dtype == jnp.bfloat16):
+        from ..ops.pallas.dispatch import maybe_decode_mlp
+
+        fused = maybe_decode_mlp(p["mlp"], p["ln2"], x)
+        if fused is not None:
+            return fused.astype(x.dtype), cache
     x = x + mlp(p["mlp"], layernorm(p["ln2"], x), compute_dtype)
     return x, cache
 

@@ -148,3 +148,43 @@ def decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, h, dh), jnp.float32),
         interpret=interpret,
     )(q, kt, v, kt_scale, v_scale)
+
+
+def _mlp_kernel(x_ref, g_ref, b_ref, wfc_ref, sfc_ref, bfc_ref,
+                wpj_ref, spj_ref, bpj_ref, o_ref, *, eps: float):
+    """Fused residual + LN + fc + gelu(approx) + proj for ONE decode token
+    per row: x [B, D] -> x + mlp(ln(x)). Weights int8-or-float with
+    per-output-channel scales (ones when float). Matches models/common's
+    bf16 layernorm formulation (one-pass variance + relative floor)."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True) - m1 * m1,
+                      m1 * m1 * 3e-7)
+    xn = ((xf - m1) * jax.lax.rsqrt(var + eps)
+          * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32))
+    h = jax.lax.dot(xn.astype(jnp.bfloat16),
+                    wfc_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    h = h * sfc_ref[:].astype(jnp.float32) + bfc_ref[:].astype(jnp.float32)
+    h = jax.nn.gelu(h)  # approximate (matches models/common.mlp)
+    y = jax.lax.dot(h.astype(jnp.bfloat16),
+                    wpj_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    y = y * spj_ref[:].astype(jnp.float32) + bpj_ref[:].astype(jnp.float32)
+    o_ref[:] = (xf + y).astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def decode_mlp(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+               wfc: jnp.ndarray, sfc: jnp.ndarray, bfc: jnp.ndarray,
+               wpj: jnp.ndarray, spj: jnp.ndarray, bpj: jnp.ndarray,
+               eps: float = 1e-5, interpret: bool = False) -> jnp.ndarray:
+    """x [B, D] -> x + proj(gelu(fc(ln(x)))). wfc [D, F] / wpj [F, D]
+    (int8 or float), sfc [F] / spj [D] per-channel scales."""
+    bsz, d = x.shape
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((bsz, d), x.dtype),
+        interpret=interpret,
+    )(x, g, b, wfc, sfc, bfc, wpj, spj, bpj)

@@ -114,3 +114,36 @@ def maybe_decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray,
     return decode_cross_attention(q, kt, v, kt_scale, v_scale,
                                   block_b=_block_rows(b, per_row),
                                   interpret=_interpret())
+
+
+def maybe_decode_mlp(p_mlp, p_ln, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Fused residual+LN+MLP for one decode token per row: x [B, 1, D] ->
+    x + mlp(ln(x)). Handles int8 (QuantizedArray) or float weights.
+    None -> caller uses the op-per-stage XLA path."""
+    if not pallas_enabled():
+        return None
+    b, t, d = x.shape
+    if t != 1:
+        return None
+    from ...models.quantize import QuantizedArray
+
+    import jax.numpy as _jnp
+
+    def split(w):
+        if isinstance(w, QuantizedArray):
+            return w.q, w.scale.astype(_jnp.float32)
+        return w, _jnp.ones((w.shape[-1],), _jnp.float32)
+
+    wfc, sfc = split(p_mlp["fc"]["w"])
+    wpj, spj = split(p_mlp["proj"]["w"])
+    f = wfc.shape[-1]
+    # whole-problem VMEM residency: weights + activations must fit
+    if (d * f + f * d) * wfc.dtype.itemsize > (10 << 20):
+        return None
+    from .decode_attention import decode_mlp
+
+    out = decode_mlp(x[:, 0], p_ln["g"], p_ln["b"],
+                     wfc, sfc, p_mlp["fc"]["b"],
+                     wpj, spj, p_mlp["proj"]["b"],
+                     interpret=_interpret())
+    return out[:, None]

@@ -228,3 +228,30 @@ def test_generate_with_decode_kernels_matches_xla(monkeypatch):
         np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_k),
                                    rtol=5e-2, atol=5e-2)
     jax.clear_caches()  # don't leak kernel-path traces to other tests
+
+
+def test_decode_mlp_kernel_parity():
+    """Fused residual+LN+MLP == the reference composition (interpret),
+    float and int8 weights."""
+    from embodied_captioning_tpu.models.common import (
+        layernorm, layernorm_init, mlp, mlp_init,
+    )
+    from embodied_captioning_tpu.ops.pallas.decode_attention import decode_mlp
+
+    d, f = 64, 256
+    key = jax.random.PRNGKey(0)
+    p_mlp = mlp_init(key, d, f)
+    p_ln = layernorm_init(d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    ref = x + mlp(p_mlp, layernorm(p_ln, x))
+    ones_f = jnp.ones((f,), jnp.float32)
+    ones_d = jnp.ones((d,), jnp.float32)
+    out = decode_mlp(x[:, 0], p_ln["g"], p_ln["b"],
+                     p_mlp["fc"]["w"], ones_f, p_mlp["fc"]["b"],
+                     p_mlp["proj"]["w"], ones_d, p_mlp["proj"]["b"],
+                     interpret=True)[:, None]
+    a = np.asarray(out, np.float32)
+    b = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
