@@ -596,11 +596,25 @@ def block(p: Params, x: jnp.ndarray, heads: int,
     block with a CROSS-ONLY block (no "attn" key; its KV input is
     pre-normalized by "ln_kv" = open_clip's ln_1_kv)."""
     if "attn" in p:
-        h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads, mask=mask,
-                       cache=cache, compute_dtype=compute_dtype,
-                       causal=causal,
-                       cache_block_causal=cache_block_causal)
-        x = x + h
+        fused = None
+        if (cache is not None and x.shape[1] == 1 and mask is None
+                and cache_block_causal and compute_dtype == jnp.bfloat16):
+            # single-token cached decode: whole self-attention block (LN1 +
+            # QKV + cache write + attention + out-proj + residual) as ONE
+            # kernel (opt-in; the decode loop is per-op-overhead bound)
+            from ..ops.pallas.dispatch import maybe_decode_self_block
+
+            fused = maybe_decode_self_block(p["attn"], p["ln1"], x, cache,
+                                            heads)
+        if fused is not None:
+            x, cache = fused
+            x = x.astype(compute_dtype)
+        else:
+            h, cache = mha(p["attn"], layernorm(p["ln1"], x), heads,
+                           mask=mask, cache=cache,
+                           compute_dtype=compute_dtype, causal=causal,
+                           cache_block_causal=cache_block_causal)
+            x = x + h
     if (cross is not None or cross_kv is not None) and "xattn" in p:
         if cross is not None and "ln_kv" in p:
             cross = layernorm(p["ln_kv"], cross)

@@ -188,3 +188,80 @@ def decode_mlp(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((bsz, d), x.dtype),
         interpret=interpret,
     )(x, g, b, wfc, sfc, bfc, wpj, spj, bpj)
+
+
+def _self_block_kernel(x_ref, g_ref, b_ref,
+                       wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+                       wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+                       kc_ref, vc_ref, pos_ref,
+                       xo_ref, ko_ref, vo_ref, *, heads: int, eps: float):
+    """Entire single-token cached self-attention block in one kernel:
+    LN1 -> q/k/v projections -> cache write at pos -> masked attention ->
+    out projection -> residual. Caches alias in place (input_output_aliases).
+    x [B, D]; weights [D, D] int8-or-float with per-channel scales."""
+    bsz, d = x_ref.shape
+    dh = d // heads
+    pos = pos_ref[0]
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True) - m1 * m1,
+                      m1 * m1 * 3e-7)
+    xn = ((xf - m1) * jax.lax.rsqrt(var + eps)
+          * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+
+    def proj(w_ref, s_ref, pb_ref):
+        y = jax.lax.dot(xn, w_ref[:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        return y * s_ref[:].astype(jnp.float32) + pb_ref[:].astype(
+            jnp.float32)
+
+    q = proj(wq_ref, sq_ref, bq_ref).reshape(bsz, heads, dh)
+    k = proj(wk_ref, sk_ref, bk_ref).astype(ko_ref.dtype)
+    v = proj(wv_ref, sv_ref, bv_ref).astype(vo_ref.dtype)
+    # cache write at position pos (the output refs alias the input caches)
+    t = ko_ref.shape[-1]
+    ko_ref[:, :, :, pl.ds(pos, 1)] = k.reshape(bsz, heads, dh)[..., None]
+    vo_ref[:, pl.ds(pos, 1)] = v.reshape(bsz, 1, heads, dh)
+    kt = ko_ref[:].astype(jnp.float32)          # [B, H, Dh, T]
+    s = jnp.sum(q[..., None] * kt, axis=2) / (dh ** 0.5)
+    live = jax.lax.broadcasted_iota(jnp.int32, (bsz, heads, t), 2) <= pos
+    s = jnp.where(live, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1)                 # [B, H]
+    vall = vo_ref[:].astype(jnp.float32)        # [B, T, H, Dh]
+    pt = jnp.transpose(p, (0, 2, 1))            # [B, T, H]
+    out = jnp.sum(pt[..., None] * vall, axis=1) / denom[..., None]
+    out2 = out.reshape(bsz, d).astype(jnp.bfloat16)
+    y = jax.lax.dot(out2, wo_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    y = y * so_ref[:].astype(jnp.float32) + bo_ref[:].astype(jnp.float32)
+    xo_ref[:] = (xf + y).astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"),
+                   donate_argnums=(15, 16))
+def decode_self_block(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv,
+                      wo, so, bo, kc, vc, pos, heads: int,
+                      eps: float = 1e-5, interpret: bool = False):
+    """x [B, D] -> (x + selfattn(ln(x)) [B, D], new k cache, new v cache).
+    kc [B, H, Dh, T] / vc [B, T, H, Dh] are DONATED and updated in place
+    at position pos."""
+    bsz, d = x.shape
+    pos_arr = jnp.full((1,), pos, jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_self_block_kernel, heads=heads, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((bsz, d), x.dtype),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        input_output_aliases={15: 1, 16: 2},
+        interpret=interpret,
+    )(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, kc, vc,
+      pos_arr)

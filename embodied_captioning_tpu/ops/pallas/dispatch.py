@@ -147,3 +147,47 @@ def maybe_decode_mlp(p_mlp, p_ln, x: jnp.ndarray) -> Optional[jnp.ndarray]:
                      wpj, spj, p_mlp["proj"]["b"],
                      interpret=_interpret())
     return out[:, None]
+
+
+def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
+    """Entire single-token cached self-attention block fused (LN1 + QKV +
+    cache write + attention + out-proj + residual). Returns
+    (x_out [B,1,D], updated KVCache) or None for the XLA path."""
+    if not pallas_enabled():
+        return None
+    b, t, d = x.shape
+    if t != 1 or d % heads != 0:
+        return None
+    from ...models.common import KVCache
+    from ...models.quantize import QuantizedArray
+
+    import jax.numpy as _jnp
+
+    def split(w):
+        if isinstance(w, QuantizedArray):
+            return w.q, w.scale.astype(_jnp.float32)
+        return w, _jnp.ones((w.shape[-1],), _jnp.float32)
+
+    ws = {}
+    for n in "qkvo":
+        w = p_attn[n]["w"]
+        shape = w.q.shape if isinstance(w, QuantizedArray) else w.shape
+        if len(shape) != 2 or shape != (d, d):
+            return None
+        ws[n] = split(w)
+    cache_bytes = (cache.k.size * cache.k.dtype.itemsize
+                   + cache.v.size * cache.v.dtype.itemsize)
+    w_bytes = sum(w.size * w.dtype.itemsize for w, _ in ws.values())
+    if cache_bytes + w_bytes > (12 << 20):
+        return None
+    from .decode_attention import decode_self_block
+
+    out, k_new, v_new = decode_self_block(
+        x[:, 0], p_ln["g"], p_ln["b"],
+        ws["q"][0], ws["q"][1], p_attn["q"]["b"],
+        ws["k"][0], ws["k"][1], p_attn["k"]["b"],
+        ws["v"][0], ws["v"][1], p_attn["v"]["b"],
+        ws["o"][0], ws["o"][1], p_attn["o"]["b"],
+        cache.k, cache.v, cache.index, heads=heads,
+        interpret=_interpret())
+    return out[:, None], KVCache(k_new, v_new, cache.index + 1)

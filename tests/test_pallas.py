@@ -255,3 +255,50 @@ def test_decode_mlp_kernel_parity():
     b = np.asarray(ref, np.float32)
     np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_decode_self_block_kernel_parity():
+    """Fused LN1+QKV+cache-write+attention+out-proj+residual == the mha
+    composition block() runs (interpret mode), including the cache update."""
+    from embodied_captioning_tpu.models.common import (
+        KVCache, layernorm, layernorm_init, mha, mha_init,
+    )
+    from embodied_captioning_tpu.ops.pallas.decode_attention import (
+        decode_self_block,
+    )
+
+    d, heads, t, bsz = 64, 4, 12, 8
+    dh = d // heads
+    p = mha_init(jax.random.PRNGKey(0), d, heads)
+    p_ln = layernorm_init(d)
+    p_ln["g"] = p_ln["g"] * 1.1
+    p_ln["b"] = p_ln["b"] + 0.05
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((bsz, 1, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    pos = 5
+    kc = jnp.asarray(rng.standard_normal((bsz, heads, dh, t)),
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((bsz, t, heads, dh)),
+                     jnp.bfloat16)
+    # reference: mha on a cache at index pos (same pre-filled buffers)
+    cache = KVCache(kc, vc, jnp.int32(pos))
+    h_ref, cache_ref = mha(p, layernorm(p_ln, x), heads, cache=cache)
+    ref = np.asarray((x + h_ref).astype(jnp.float32))
+
+    ones = jnp.ones((d,), jnp.float32)
+    out, k_new, v_new = decode_self_block(
+        x[:, 0], p_ln["g"], p_ln["b"],
+        p["q"]["w"], ones, p["q"]["b"], p["k"]["w"], ones, p["k"]["b"],
+        p["v"]["w"], ones, p["v"]["b"], p["o"]["w"], ones, p["o"]["b"],
+        kc, vc, jnp.int32(pos), heads=heads, interpret=True)
+    a = np.asarray(out, np.float32)[:, None]
+    np.testing.assert_allclose(a, ref, rtol=0.06, atol=0.06)
+    assert np.corrcoef(a.ravel(), ref.ravel())[0, 1] > 0.999
+    # cache update parity
+    np.testing.assert_allclose(
+        np.asarray(k_new, np.float32), np.asarray(cache_ref.k, np.float32),
+        rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(v_new, np.float32), np.asarray(cache_ref.v, np.float32),
+        rtol=0.05, atol=0.05)
