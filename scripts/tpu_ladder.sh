@@ -42,6 +42,9 @@ run env ECAP_USE_PALLAS=1 ECAP_CROSS_V_HEADMAJOR=1 python bench.py
 # 7. bench with cross-V head-major only (XLA path)
 run env ECAP_CROSS_V_HEADMAJOR=1 python bench.py
 
+# 7b. decode kernels WITHOUT the cross kernel (self-block+mlp only)
+run env ECAP_USE_PALLAS=1 python bench.py
+
 # 8. worst case (all slots) after the early-exit/kernel work
 run env BENCH_CAPTION_SLOTS=0 BENCH_BATCH=8 python bench.py
 
