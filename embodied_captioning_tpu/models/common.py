@@ -618,9 +618,19 @@ def block(p: Params, x: jnp.ndarray, heads: int,
     if (cross is not None or cross_kv is not None) and "xattn" in p:
         if cross is not None and "ln_kv" in p:
             cross = layernorm(p["ln_kv"], cross)
-        h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
-                   compute_dtype=compute_dtype, kv_precomputed=cross_kv)
-        x = x + h
+        fused_x = None
+        if (cross is None and cross_kv is not None and x.shape[1] == 1
+                and compute_dtype == jnp.bfloat16 and cross_v_headmajor()):
+            from ..ops.pallas.dispatch import maybe_decode_cross_block
+
+            fused_x = maybe_decode_cross_block(p["xattn"], p["ln_x"], x,
+                                               cross_kv, heads)
+        if fused_x is not None:
+            x = fused_x.astype(compute_dtype)
+        else:
+            h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
+                       compute_dtype=compute_dtype, kv_precomputed=cross_kv)
+            x = x + h
     # fused residual+LN+MLP for single-token cached decoding (opt-in)
     if (cache is not None and x.shape[1] == 1
             and compute_dtype == jnp.bfloat16):

@@ -265,3 +265,83 @@ def decode_self_block(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv,
         interpret=interpret,
     )(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, kc, vc,
       pos_arr)
+
+
+def _cross_block_kernel(x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref,
+                        wo_ref, so_ref, bo_ref, kt_ref, v_ref,
+                        ks_ref, vs_ref, o_ref, *, heads: int, eps: float):
+    """Entire single-token cross-attention block for `bb` rows per grid
+    step: LN_x -> q proj -> attention over precomputed K/V (int8-or-float,
+    head-major V) -> out proj -> residual. The weight blocks' index maps
+    are constant, so Mosaic keeps them VMEM-resident across grid steps."""
+    bb, d = x_ref.shape
+    dh = d // heads
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True) - m1 * m1,
+                      m1 * m1 * 3e-7)
+    xn = ((xf - m1) * jax.lax.rsqrt(var + eps)
+          * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    q = jax.lax.dot(xn, wq_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    q = (q * sq_ref[:].astype(jnp.float32)
+         + bq_ref[:].astype(jnp.float32)).reshape(bb, heads, dh)
+    kt = kt_ref[:].astype(jnp.float32)          # [bb, H, Dh, K]
+    s = jnp.sum(q[..., None] * kt, axis=2)      # [bb, H, K]
+    s = s / (dh ** 0.5) * ks_ref[:].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1)
+    v = v_ref[:].astype(jnp.float32)            # [bb, H, K, Dh]
+    out = jnp.sum(p[..., None] * v, axis=2)
+    out = out * vs_ref[:].astype(jnp.float32) / denom[..., None]
+    out2 = out.reshape(bb, d).astype(jnp.bfloat16)
+    y = jax.lax.dot(out2, wo_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    y = y * so_ref[:].astype(jnp.float32) + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = (xf + y).astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "block_b",
+                                             "interpret"))
+def decode_cross_block(x, g, b, wq, sq, bq, wo, so, bo, kt, v,
+                       kt_scale=None, v_scale=None, heads: int = 8,
+                       eps: float = 1e-5, block_b: int = 8,
+                       interpret: bool = False):
+    """x [B, D] -> x + crossattn(ln(x)) over precomputed kt [B,H,Dh,K] and
+    HEAD-MAJOR v [B,H,K,Dh] (int8 with scales, or float)."""
+    bsz, d = x.shape
+    h = heads
+    dh = d // h
+    k = kt.shape[-1]
+    if kt_scale is None:
+        kt_scale = jnp.ones((bsz, h, k), jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones((bsz, h, dh), jnp.float32)
+    bb = _largest_divisor_at_most(bsz, block_b)
+    grid = (bsz // bb,)
+    const = lambda i: (0, 0)  # noqa: E731  (weights: same block every step)
+    return pl.pallas_call(
+        functools.partial(_cross_block_kernel, heads=h, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda i: (i, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, d), const),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, d), const),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((bb, h, dh, k), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, k, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, h, dh), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, d), x.dtype),
+        interpret=interpret,
+    )(x, g, b, wq, sq, bq, wo, so, bo, kt, v, kt_scale, v_scale)

@@ -191,3 +191,52 @@ def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
         cache.k, cache.v, cache.index, heads=heads,
         interpret=_interpret())
     return out[:, None], KVCache(k_new, v_new, cache.index + 1)
+
+
+def maybe_decode_cross_block(p_xattn, p_ln, x: jnp.ndarray, cross_kv,
+                             heads: int) -> Optional[jnp.ndarray]:
+    """Entire single-token cross-attention block fused (LN_x + q proj +
+    attention over precomputed head-major K/V + out proj + residual).
+    Returns x_out [B,1,D] or None for the XLA path."""
+    if not pallas_enabled():
+        return None
+    b, t, d = x.shape
+    if t != 1 or d % heads != 0:
+        return None
+    from ...models.quantize import QuantizedArray, QuantizedKV
+
+    import jax.numpy as _jnp
+
+    if isinstance(cross_kv, QuantizedKV):
+        kt, v = cross_kv.kt, cross_kv.v
+        ks, vs = cross_kv.kt_scale, cross_kv.v_scale
+    else:
+        kt, v = cross_kv
+        ks = vs = None
+    # require the head-major V layout [B, H, K, Dh]
+    if v.ndim != 4 or v.shape[1] != heads or v.shape[-1] != d // heads:
+        return None
+    if kt.ndim != 4 or kt.shape[1] != heads:
+        return None
+
+    def split(w):
+        if isinstance(w, QuantizedArray):
+            return w.q, w.scale.astype(_jnp.float32)
+        return w, _jnp.ones((w.shape[-1],), _jnp.float32)
+
+    wq = p_xattn["q"]["w"]
+    wo = p_xattn["o"]["w"]
+    for w in (wq, wo):
+        shape = w.q.shape if isinstance(w, QuantizedArray) else w.shape
+        if len(shape) != 2 or shape != (d, d):
+            return None
+    wq, sq = split(wq)
+    wo, so = split(wo)
+    from .decode_attention import decode_cross_block
+
+    per_row = heads * (d // heads) * kt.shape[-1] * kt.dtype.itemsize * 2
+    out = decode_cross_block(
+        x[:, 0], p_ln["g"], p_ln["b"], wq, sq, p_xattn["q"]["b"],
+        wo, so, p_xattn["o"]["b"], kt, v, ks, vs, heads=heads,
+        block_b=_block_rows(b, per_row), interpret=_interpret())
+    return out[:, None]

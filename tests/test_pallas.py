@@ -302,3 +302,37 @@ def test_decode_self_block_kernel_parity():
     np.testing.assert_allclose(
         np.asarray(v_new, np.float32), np.asarray(cache_ref.v, np.float32),
         rtol=0.05, atol=0.05)
+
+
+def test_decode_cross_block_kernel_parity():
+    """Fused LN_x + q-proj + cross-attention + out-proj + residual == the
+    mha composition (interpret mode), float and int8-scaled K/V."""
+    from embodied_captioning_tpu.models.common import (
+        layernorm, layernorm_init, mha, mha_init,
+    )
+    from embodied_captioning_tpu.ops.pallas.decode_attention import (
+        decode_cross_block,
+    )
+
+    d, heads, k, bsz = 64, 4, 24, 8
+    dh = d // heads
+    p = mha_init(jax.random.PRNGKey(2), d, heads)
+    p_ln = layernorm_init(d)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((bsz, 1, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    kt = jnp.asarray(rng.standard_normal((bsz, heads, dh, k)),
+                     jnp.bfloat16)
+    v_km = jnp.asarray(rng.standard_normal((bsz, k, heads, dh)),
+                       jnp.bfloat16)  # [B,K,H,Dh] for the mha reference
+    h_ref, _ = mha(p, layernorm(p_ln, x), heads, kv_precomputed=(kt, v_km))
+    ref = np.asarray((x + h_ref).astype(jnp.float32))
+    ones = jnp.ones((d,), jnp.float32)
+    out = decode_cross_block(
+        x[:, 0], p_ln["g"], p_ln["b"], p["q"]["w"], ones, p["q"]["b"],
+        p["o"]["w"], ones, p["o"]["b"], kt,
+        jnp.transpose(v_km, (0, 2, 1, 3)), heads=heads, block_b=4,
+        interpret=True)
+    a = np.asarray(out, np.float32)[:, None]
+    np.testing.assert_allclose(a, ref, rtol=0.06, atol=0.06)
+    assert np.corrcoef(a.ravel(), ref.ravel())[0, 1] > 0.999
