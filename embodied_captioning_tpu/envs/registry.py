@@ -237,7 +237,7 @@ class VizTrajectoryEnv(VizEnv):
         os.makedirs(self._viz_dir, exist_ok=True)
         write_png(os.path.join(self._viz_dir,
                                f"trajectory_{self.step_count:04d}.png"), img)
-        obs["pcd"] = np.asarray(maps[..., 2], np.float32) / (NUM_CLASSES + 1)
+        obs["pcd"] = np.asarray(maps[..., 2], np.float32) / NUM_CLASSES
         return obs
 
     def step(self, action):

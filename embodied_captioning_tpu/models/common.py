@@ -564,6 +564,19 @@ def mlp(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
                  compute_dtype)
 
 
+
+def _decode_fusion_ok(x, compute_dtype) -> bool:
+    """Common gate for the fused decode-block kernels: bf16 stream only
+    (the kernels implement the bf16 LN formulation and return bf16), and
+    not under W8A8 (the kernels run bf16-activation matmuls, which would
+    silently drop the int8-activation path W8A8 requests)."""
+    if compute_dtype != jnp.bfloat16 or x.dtype != jnp.bfloat16:
+        return False
+    from .quantize import w8a8_enabled
+
+    return not w8a8_enabled()
+
+
 def block_init(key, dim: int, heads: int, mlp_ratio: float = 4.0,
                cross_dim: Optional[int] = None) -> Params:
     ks = jax.random.split(key, 3)
@@ -598,7 +611,8 @@ def block(p: Params, x: jnp.ndarray, heads: int,
     if "attn" in p:
         fused = None
         if (cache is not None and x.shape[1] == 1 and mask is None
-                and cache_block_causal and compute_dtype == jnp.bfloat16):
+                and cache_block_causal
+                and _decode_fusion_ok(x, compute_dtype)):
             # single-token cached decode: whole self-attention block (LN1 +
             # QKV + cache write + attention + out-proj + residual) as ONE
             # kernel (opt-in; the decode loop is per-op-overhead bound)
@@ -620,7 +634,8 @@ def block(p: Params, x: jnp.ndarray, heads: int,
             cross = layernorm(p["ln_kv"], cross)
         fused_x = None
         if (cross is None and cross_kv is not None and x.shape[1] == 1
-                and compute_dtype == jnp.bfloat16 and cross_v_headmajor()):
+                and _decode_fusion_ok(x, compute_dtype)
+                and cross_v_headmajor()):
             from ..ops.pallas.dispatch import maybe_decode_cross_block
 
             fused_x = maybe_decode_cross_block(p["xattn"], p["ln_x"], x,
@@ -633,7 +648,7 @@ def block(p: Params, x: jnp.ndarray, heads: int,
             x = x + h
     # fused residual+LN+MLP for single-token cached decoding (opt-in)
     if (cache is not None and x.shape[1] == 1
-            and compute_dtype == jnp.bfloat16):
+            and _decode_fusion_ok(x, compute_dtype)):
         from ..ops.pallas.dispatch import maybe_decode_mlp
 
         fused = maybe_decode_mlp(p["mlp"], p["ln2"], x)

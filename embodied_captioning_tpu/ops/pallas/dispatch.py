@@ -156,7 +156,7 @@ def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
     if not pallas_enabled():
         return None
     b, t, d = x.shape
-    if t != 1 or d % heads != 0:
+    if t != 1 or d % heads != 0 or (d // heads) % 8 != 0:
         return None
     from ...models.common import KVCache
     from ...models.quantize import QuantizedArray
@@ -201,7 +201,7 @@ def maybe_decode_cross_block(p_xattn, p_ln, x: jnp.ndarray, cross_kv,
     if not pallas_enabled():
         return None
     b, t, d = x.shape
-    if t != 1 or d % heads != 0:
+    if t != 1 or d % heads != 0 or (d // heads) % 8 != 0:
         return None
     from ...models.quantize import QuantizedArray, QuantizedKV
 
@@ -232,6 +232,11 @@ def maybe_decode_cross_block(p_xattn, p_ln, x: jnp.ndarray, cross_kv,
             return None
     wq, sq = split(wq)
     wo, so = split(wo)
+    # VMEM budget: the two weight blocks stay RESIDENT across grid steps,
+    # so they count against the whole budget, not per grid step
+    w_bytes = wq.size * wq.dtype.itemsize + wo.size * wo.dtype.itemsize
+    if w_bytes > (6 << 20):
+        return None
     from .decode_attention import decode_cross_block
 
     per_row = heads * (d // heads) * kt.shape[-1] * kt.dtype.itemsize * 2

@@ -1,8 +1,10 @@
 """Minimal image output (stdlib-only PNG writer).
 
 Backs the Viz-v1 trajectory renderer (the reference writes per-step
-trajectory frames with cv2.imwrite, ref: envs/env_viz.py:292-330 VizSEAL);
-this environment has no cv2/PIL, and a truecolor PNG is ~20 lines of zlib.
+trajectory frames with cv2.imwrite, ref: envs/env_viz.py:292-330 VizSEAL).
+PIL exists in this image (scripts/visualize_exp.py uses it); the package
+itself keeps a dependency-free stdlib writer so env code never imports
+PIL on the hot path.
 """
 
 from __future__ import annotations
@@ -60,7 +62,8 @@ def render_topdown(maps: np.ndarray, path_cells=None,
                 img[r, c] = (255, 0, 0)
     if agent_cell is not None:
         r, c = agent_cell
-        r0, r1 = max(r - 1, 0), min(r + 2, h)
-        c0, c1 = max(c - 1, 0), min(c + 2, w)
-        img[r0:r1, c0:c1] = (0, 255, 0)
+        if 0 <= r < h and 0 <= c < w:  # recorded pose may be off-map when
+            # replaying against a differently-seeded sim's bounds
+            img[max(r - 1, 0):min(r + 2, h),
+                max(c - 1, 0):min(c + 2, w)] = (0, 255, 0)
     return img

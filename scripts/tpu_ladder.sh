@@ -7,7 +7,7 @@
 #
 # Order: cheapest/highest-information first.
 set -u
-OUT="${1:-/tmp/tpu_ladder.log}"
+OUT="$(realpath -m "${1:-/tmp/tpu_ladder.log}")"
 cd "$(dirname "$0")/.."
 
 run() {
