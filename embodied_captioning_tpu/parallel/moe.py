@@ -7,18 +7,22 @@ without growing per-token FLOPs, designed TPU-first:
 
 - FIXED capacity per expert (static shapes; overflow tokens are dropped,
   the standard Switch/GShard contract) — no dynamic shapes under jit.
+- Tokens are routed in GROUPS (GShard's group axis): capacity and the
+  dispatch one-hots are per-group, so dispatch memory is
+  O(N * group_size * top_k * cf) — linear in token count — instead of the
+  O(N^2) a single flat group would cost.
 - Dispatch and combine are ONE-HOT MATMULS (`nec,nd->ecd` / `nec,ecd->nd`),
   not gathers — the Mesh-TensorFlow formulation that rides the MXU, and
   the same no-gather rule the rest of this repo follows (CLAUDE.md).
 - Expert weights carry a leading [E, ...] axis sharded over the `expert`
-  mesh axis; the dispatched [E, C, D] activations shard the same way, so
-  XLA lowers the dispatch/combine contractions to all-to-alls over ICI.
+  mesh axis; the dispatched [G, E, C, D] activations shard the same way,
+  so XLA lowers the dispatch/combine contractions to all-to-alls over ICI.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,83 +57,108 @@ def shard_experts(params: Params, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def _route_group(probs: jnp.ndarray, top_k: int,
+                 cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One group's routing: probs [Ng, E] (already zeroed for pad tokens)
+    -> (dispatch [Ng, E, C] 0/1, combine [Ng, E, C] gate-weighted).
+    Capacity slots go to earlier tokens deterministically (GShard cumsum);
+    route r+1 queues after all of route r."""
+    ng, e = probs.shape
+    disp = jnp.zeros((ng, e, cap), jnp.float32)
+    comb = jnp.zeros((ng, e, cap), jnp.float32)
+    prior = jnp.zeros((e,), jnp.float32)
+    masked = probs
+    for _ in range(top_k):
+        w = jnp.max(masked, axis=-1)
+        idx = jnp.argmax(masked, axis=-1)
+        onehot = (jax.nn.one_hot(idx, e, dtype=jnp.float32)
+                  * (w > 0.0)[:, None])  # pad tokens (all-zero probs) route nowhere
+        masked = masked * (1.0 - onehot)
+        pos = jnp.cumsum(onehot, axis=0) - onehot + prior      # [Ng, E]
+        prior = prior + jnp.sum(onehot, axis=0)
+        pos_id = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)
+        keep = jnp.sum(onehot, -1) * (pos_id < cap)
+        slot = jax.nn.one_hot(pos_id, cap, dtype=jnp.float32)  # [Ng, C]
+        hot = onehot[:, :, None] * slot[:, None, :] * keep[:, None, None]
+        disp = disp + hot
+        comb = comb + hot * w[:, None, None]
+    return disp, comb
+
+
 def moe_mlp(p: Params, x: jnp.ndarray, capacity_factor: float = 1.25,
             top_k: int = 2, mesh: Optional[Mesh] = None,
-            axis: str = "expert",
-            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+            axis: str = "expert", group_size: int = 1024,
+            compute_dtype=jnp.bfloat16,
+            return_gate_probs: bool = False):
     """Top-k gated MoE MLP. x: [B, T, D] -> [B, T, D].
 
-    Overflow beyond each expert's capacity C = ceil(top_k * N / E * cf)
-    is dropped (the token keeps only its other routes, or its residual —
-    callers add the residual outside, like `models/common.block`).
+    Tokens are split into groups of `group_size`; each group gets expert
+    capacity C = ceil(top_k * Ng / E * cf). Overflow beyond C is dropped
+    (the token keeps only its other routes, or its residual — callers add
+    the residual outside, like `models/common.block`).
+
+    `return_gate_probs=True` additionally returns the [N, E] gate softmax
+    (pre-pad-masking) so `load_balance_loss` reuses this forward's routing
+    distribution instead of recomputing the gate.
     """
     b, t, d = x.shape
     n = b * t
     e = p["fc_w"].shape[0]
-    cap = max(1, min(math.ceil(top_k * n / e * capacity_factor), n))
+    if top_k > e:
+        raise ValueError(f"top_k={top_k} exceeds expert count {e}")
+    ng = min(group_size, n)
+    g = math.ceil(n / ng)
+    n_pad = g * ng
+    cap = max(1, min(math.ceil(top_k * ng / e * capacity_factor), ng))
     xf = x.reshape(n, d).astype(compute_dtype)
 
     logits = (xf.astype(jnp.float32) @ p["gate"]["w"].astype(jnp.float32)
               + p["gate"]["b"])                       # [N, E]
     probs = jax.nn.softmax(logits, axis=-1)
-    # top-k routes per token (static k loop; E is small)
-    route_w = []
-    route_e = []
-    masked = probs
-    for _ in range(top_k):
-        w = jnp.max(masked, axis=-1)
-        idx = jnp.argmax(masked, axis=-1)
-        route_w.append(w)
-        route_e.append(idx)
-        masked = masked * (1.0 - jax.nn.one_hot(idx, e, dtype=probs.dtype))
-    # position of each (token, route) within its expert queue, computed
-    # with cumsum over the one-hot routing matrix (GShard): earlier tokens
-    # win capacity slots deterministically
-    disp = jnp.zeros((n, e, cap), jnp.float32)
-    comb = jnp.zeros((n, e, cap), jnp.float32)
-    prior = jnp.zeros((e,), jnp.float32)
-    for w, idx in zip(route_w, route_e):
-        onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)     # [N, E]
-        pos = jnp.cumsum(onehot, axis=0) - onehot + prior      # [N, E]
-        prior = prior + jnp.sum(onehot, axis=0)
-        pos_id = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)  # [N]
-        keep = (pos_id < cap).astype(jnp.float32)
-        slot = jax.nn.one_hot(pos_id, cap, dtype=jnp.float32)      # [N, C]
-        hot = onehot[:, :, None] * slot[:, None, :] * keep[:, None, None]
-        disp = disp + hot
-        comb = comb + hot * w[:, None, None]
+    xp = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+    pp = jnp.pad(probs, ((0, n_pad - n), (0, 0)))     # pad rows all-zero
+    disp, comb = jax.vmap(lambda q: _route_group(q, top_k, cap))(
+        pp.reshape(g, ng, e))                         # [G, Ng, E, C]
 
     dd = disp.astype(compute_dtype)
-    ex_in = jnp.einsum("nec,nd->ecd", dd, xf,
-                       preferred_element_type=jnp.float32)     # [E, C, D]
+    ex_in = jnp.einsum("gnec,gnd->gecd", dd, xp.reshape(g, ng, d),
+                       preferred_element_type=jnp.float32)  # [G, E, C, D]
     if mesh is not None:
         ex_in = jax.lax.with_sharding_constraint(
-            ex_in, NamedSharding(mesh, P(axis, None, None)))
+            ex_in, NamedSharding(mesh, P(None, axis, None, None)))
     ex_in = ex_in.astype(compute_dtype)
-    h = jnp.einsum("ecd,edh->ech", ex_in,
+    h = jnp.einsum("gecd,edh->gech", ex_in,
                    p["fc_w"].astype(compute_dtype),
                    preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + p["fc_b"][:, None, :]).astype(compute_dtype)
-    out_e = jnp.einsum("ech,ehd->ecd", h,
+    h = jax.nn.gelu(h + p["fc_b"][None, :, None, :]).astype(compute_dtype)
+    out_e = jnp.einsum("gech,ehd->gecd", h,
                        p["proj_w"].astype(compute_dtype),
                        preferred_element_type=jnp.float32)
-    out_e = out_e + p["proj_b"][:, None, :]
+    out_e = out_e + p["proj_b"][None, :, None, :]
     if mesh is not None:
         out_e = jax.lax.with_sharding_constraint(
-            out_e, NamedSharding(mesh, P(axis, None, None)))
-    out = jnp.einsum("nec,ecd->nd", comb.astype(compute_dtype),
+            out_e, NamedSharding(mesh, P(None, axis, None, None)))
+    out = jnp.einsum("gnec,gecd->gnd", comb.astype(compute_dtype),
                      out_e.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return out.reshape(b, t, d).astype(x.dtype)
+    out = out.reshape(n_pad, d)[:n].reshape(b, t, d).astype(x.dtype)
+    return (out, probs) if return_gate_probs else out
 
 
-def load_balance_loss(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def load_balance_loss(p: Params, x: jnp.ndarray,
+                      gate_probs: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
     """Switch-style auxiliary loss: E * sum_e f_e * P_e, where f_e is the
-    fraction of tokens whose top-1 route is e and P_e the mean gate prob."""
-    b, t, d = x.shape
-    xf = x.reshape(b * t, d).astype(jnp.float32)
-    logits = xf @ p["gate"]["w"].astype(jnp.float32) + p["gate"]["b"]
-    probs = jax.nn.softmax(logits, axis=-1)
-    e = probs.shape[-1]
-    top1 = jax.nn.one_hot(jnp.argmax(probs, axis=-1), e, dtype=jnp.float32)
-    return e * jnp.sum(jnp.mean(top1, 0) * jnp.mean(probs, 0))
+    fraction of tokens whose top-1 route is e and P_e the mean gate prob.
+    Pass `gate_probs` from `moe_mlp(..., return_gate_probs=True)` to avoid
+    recomputing the gate forward (and to guarantee the loss sees the exact
+    routing distribution the layer used)."""
+    if gate_probs is None:
+        b, t, d = x.shape
+        xf = x.reshape(b * t, d).astype(jnp.float32)
+        logits = xf @ p["gate"]["w"].astype(jnp.float32) + p["gate"]["b"]
+        gate_probs = jax.nn.softmax(logits, axis=-1)
+    e = gate_probs.shape[-1]
+    top1 = jax.nn.one_hot(jnp.argmax(gate_probs, axis=-1), e,
+                          dtype=jnp.float32)
+    return e * jnp.sum(jnp.mean(top1, 0) * jnp.mean(gate_probs, 0))

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.common import Params, dense, layernorm, mlp
+from ..models.common import (
+    Params, _proj_headmajor, dense, layernorm, mlp,
+)
 from ..models.quantize import maybe_dequant
 
 
@@ -56,8 +58,7 @@ def _ring_attention_local(q, k, v, key_valid, *, axis: str, n: int):
         m0, l0, o0 = (jax.lax.pvary(x, (axis,)) for x in (m0, l0, o0))
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(carry, _):
-        k_blk, v_blk, val_blk, m, l, o = carry
+    def process(k_blk, v_blk, val_blk, m, l, o):
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32))
         s = jnp.where(val_blk[:, None, None, :], s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
@@ -69,14 +70,23 @@ def _ring_attention_local(q, k, v, key_valid, *, axis: str, n: int):
         l = l * corr + jnp.sum(p, axis=-1)
         o = o * corr[..., None] + jnp.einsum(
             "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
-        if n > 1:
-            k_blk = jax.lax.ppermute(k_blk, axis, perm)
-            v_blk = jax.lax.ppermute(v_blk, axis, perm)
-            val_blk = jax.lax.ppermute(val_blk, axis, perm)
-        return (k_blk, v_blk, val_blk, m_new, l, o), None
+        return m_new, l, o
+
+    # resident block first, then rotate-and-process n-1 times — exactly
+    # n-1 ICI hops (a rotate-after-process scan would pay a wasted final
+    # rotation XLA cannot eliminate from the uniform loop body)
+    m0, l0, o0 = process(k, v, key_valid, m0, l0, o0)
+
+    def step(carry, _):
+        k_blk, v_blk, val_blk, m, l, o = carry
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        val_blk = jax.lax.ppermute(val_blk, axis, perm)
+        m, l, o = process(k_blk, v_blk, val_blk, m, l, o)
+        return (k_blk, v_blk, val_blk, m, l, o), None
 
     carry, _ = jax.lax.scan(step, (k, v, key_valid, m0, l0, o0), None,
-                            length=n)
+                            length=n - 1)
     _, _, _, _, l, o = carry
     out = o / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(q.dtype)
@@ -108,27 +118,16 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return fn(q, k, v, key_valid)
 
 
-def _proj_tokenwise(p_one: Params, x: jnp.ndarray, heads: int,
-                    compute_dtype) -> jnp.ndarray:
-    """[B, T, D] -> head-major [B, H, T, Dh]; pointwise over tokens, so the
-    seq sharding of x propagates with zero communication."""
-    d_in = x.shape[-1]
-    dh = p_one["w"].shape[-1] // heads
-    w = maybe_dequant(p_one["w"], compute_dtype).reshape(d_in, heads, dh)
-    b = p_one["b"].reshape(heads, 1, dh)
-    y = jnp.einsum("btd,dhm->bhtm", x.astype(compute_dtype), w,
-                   preferred_element_type=jnp.float32)
-    return (y + b).astype(compute_dtype)
-
-
 def _sp_block(p: Params, x: jnp.ndarray, heads: int, mesh: Mesh, axis: str,
               valid: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     """Pre-LN transformer block with ring attention (mirrors
-    models/common.block for the self-attention-only encoder case)."""
+    models/common.block for the self-attention-only encoder case). The QKV
+    projections reuse the dense path's head-major spelling — they are
+    token-pointwise, so the seq sharding propagates with zero comms."""
     h = layernorm(p["ln1"], x)
-    q = _proj_tokenwise(p["attn"]["q"], h, heads, compute_dtype)
-    k = _proj_tokenwise(p["attn"]["k"], h, heads, compute_dtype)
-    v = _proj_tokenwise(p["attn"]["v"], h, heads, compute_dtype)
+    q = _proj_headmajor(p["attn"]["q"], h, heads, compute_dtype)
+    k = _proj_headmajor(p["attn"]["k"], h, heads, compute_dtype)
+    v = _proj_headmajor(p["attn"]["v"], h, heads, compute_dtype)
     out = ring_attention(q, k, v, mesh, axis, key_valid=valid)
     dh = out.shape[-1]
     d_model = p["attn"]["o"]["w"].shape[-1]

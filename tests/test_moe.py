@@ -77,6 +77,26 @@ def test_moe_capacity_overflow_drops_latest(moe_setup):
     assert nz[:2].all() and not nz[2:].any(), nz
 
 
+def test_moe_grouped_matches_single_group(moe_setup):
+    """Routing in groups must equal the flat single group when every group
+    has headroom (cf covers the worst per-group load), and must error on
+    top_k > E."""
+    p, x = moe_setup
+    ref = moe_mlp(p, x, capacity_factor=float(E), top_k=2,
+                  compute_dtype=jnp.float32)
+    out = moe_mlp(p, x, capacity_factor=float(E), top_k=2, group_size=4,
+                  compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # group padding: 16 tokens in groups of 5 -> 4 groups, 4 pad tokens
+    out_pad = moe_mlp(p, x, capacity_factor=float(E), top_k=2, group_size=5,
+                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        moe_mlp(p, x, top_k=E + 1)
+
+
 def test_balance_loss(moe_setup):
     p, x = moe_setup
     # uniform gate: zero the gate weights -> every prob = 1/E, loss -> 1
@@ -88,3 +108,9 @@ def test_balance_loss(moe_setup):
     pc = dict(p, gate={"w": jnp.zeros_like(p["gate"]["w"]),
                        "b": jnp.asarray([100.0, 0, 0, 0])})
     assert float(load_balance_loss(pc, x)) > 3.5
+    # probs reuse from the layer forward: same loss, no gate recompute
+    out, probs = moe_mlp(pu, x, compute_dtype=jnp.float32,
+                         return_gate_probs=True)
+    assert out.shape == x.shape
+    l_reused = float(load_balance_loss(pu, x, gate_probs=probs))
+    assert abs(l_reused - l_uniform) < 1e-5
