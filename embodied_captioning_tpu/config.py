@@ -92,6 +92,10 @@ class TextDecoderConfig:
     pad_id: int = 0
     bos_id: int = 1
     eos_id: int = 2
+    # opt-in mixture-of-experts MLP in the UNIMODAL text blocks (0 = dense).
+    # Experts shard over an ("expert",) mesh axis via parallel.moe — the
+    # capacity-scaling path; the reference has no MoE. top-2 routing.
+    moe_experts: int = 0
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,15 @@ def init_captioner(key, cfg: CaptionerConfig) -> Params:
     t = cfg.text
     text_blocks = [block_init(jax.random.fold_in(kt, i), t.width, t.heads,
                               t.mlp_ratio) for i in range(t.layers)]
+    if t.moe_experts > 0:
+        # swap the unimodal MLPs for mixture-of-experts layers (top-2
+        # routing, parallel/moe.py); block() dispatches on the "moe" key
+        from ..parallel.moe import moe_init
+
+        for i, blk in enumerate(text_blocks):
+            del blk["mlp"]
+            blk["moe"] = moe_init(jax.random.fold_in(kt, 1000 + i), t.width,
+                                  int(t.width * t.mlp_ratio), t.moe_experts)
     mm_blocks = [block_init(jax.random.fold_in(km, i), t.width, t.heads,
                             t.mlp_ratio, cross_dim=cfg.vision.width)
                  for i in range(t.cross_layers)]

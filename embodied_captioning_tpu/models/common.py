@@ -646,6 +646,16 @@ def block(p: Params, x: jnp.ndarray, heads: int,
             h, _ = mha(p["xattn"], layernorm(p["ln_x"], x), heads, kv=cross,
                        compute_dtype=compute_dtype, kv_precomputed=cross_kv)
             x = x + h
+    if "moe" in p:
+        # mixture-of-experts MLP (opt-in via TextDecoderConfig.moe_experts;
+        # top-2 routing capped by the expert count). Lazy import: moe.py
+        # imports from this module.
+        from ..parallel.moe import moe_mlp
+
+        n_exp = p["moe"]["fc_w"].shape[0]
+        h = moe_mlp(p["moe"], layernorm(p["ln2"], x),
+                    top_k=min(2, n_exp), compute_dtype=compute_dtype)
+        return x + h, cache
     # fused residual+LN+MLP for single-token cached decoding (opt-in)
     if (cache is not None and x.shape[1] == 1
             and _decode_fusion_ok(x, compute_dtype)):

@@ -126,13 +126,18 @@ def moe_mlp(p: Params, x: jnp.ndarray, capacity_factor: float = 1.25,
     if mesh is not None:
         ex_in = jax.lax.with_sharding_constraint(
             ex_in, NamedSharding(mesh, P(None, axis, None, None)))
-    ex_in = ex_in.astype(compute_dtype)
+    # XLA:CPU's DotThunk cannot run bf16 x bf16 -> f32 for the e-batched
+    # expert matmuls (TPU MXU can, natively); upcast on CPU only — the
+    # branch is trace-time static, nothing leaks into the TPU program
+    mm_dtype = (jnp.float32 if jax.default_backend() != "tpu"
+                else compute_dtype)
+    ex_in = ex_in.astype(mm_dtype)
     h = jnp.einsum("gecd,edh->gech", ex_in,
-                   p["fc_w"].astype(compute_dtype),
+                   p["fc_w"].astype(mm_dtype),
                    preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + p["fc_b"][None, :, None, :]).astype(compute_dtype)
+    h = jax.nn.gelu(h + p["fc_b"][None, :, None, :]).astype(mm_dtype)
     out_e = jnp.einsum("gech,ehd->gecd", h,
-                       p["proj_w"].astype(compute_dtype),
+                       p["proj_w"].astype(mm_dtype),
                        preferred_element_type=jnp.float32)
     out_e = out_e + p["proj_b"][None, :, None, :]
     if mesh is not None:

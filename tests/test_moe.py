@@ -97,6 +97,46 @@ def test_moe_grouped_matches_single_group(moe_setup):
         moe_mlp(p, x, top_k=E + 1)
 
 
+def test_moe_captioner_trains_and_generates():
+    """End-to-end: a tiny captioner with MoE unimodal MLPs
+    (TextDecoderConfig.moe_experts=2) forwards, improves its caption loss
+    over a few steps, and generates with the KV-cached decode loop."""
+    import dataclasses
+
+    from embodied_captioning_tpu.config import CaptionerConfig
+    from embodied_captioning_tpu.models.captioner import (
+        caption_loss, generate, init_captioner,
+    )
+    from embodied_captioning_tpu.train.captioner_train import (
+        create_train_state, train_step,
+    )
+
+    tiny = CaptionerConfig.tiny()
+    cfg = dataclasses.replace(
+        tiny, text=dataclasses.replace(tiny.text, moe_experts=2))
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    for blk in params["text_blocks"]:
+        assert "moe" in blk and "mlp" not in blk
+        assert blk["moe"]["fc_w"].shape[0] == 2
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray((rng.random((4, 64, 64, 3)) * 255).astype(np.uint8))
+    toks = jnp.asarray(rng.integers(3, 1000, (4, 12)).astype(np.int32))
+    state = create_train_state(params, lr=3e-3)
+    l0, _ = caption_loss(state.params, imgs, toks, cfg)
+    for _ in range(8):
+        state, aux = train_step(state, imgs, toks,
+                                jnp.zeros(4, jnp.int32),
+                                jnp.ones(4, bool), cfg, lr=3e-3)
+    l1, _ = caption_loss(state.params, imgs, toks, cfg)
+    assert float(l1) < float(l0), (float(l0), float(l1))
+
+    out, _, lengths = generate(state.params, imgs[:2],
+                               jax.random.PRNGKey(1), cfg)
+    assert out.shape == (2, cfg.max_caption_len)
+    assert int(jnp.max(lengths)) >= 1
+
+
 def test_balance_loss(moe_setup):
     p, x = moe_setup
     # uniform gate: zero the gate weights -> every prob = 1/E, loss -> 1
