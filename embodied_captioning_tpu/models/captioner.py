@@ -254,8 +254,13 @@ def generate(params: Params, images_u8: jnp.ndarray, key, cfg: CaptionerConfig,
                                       cfg)
         key, sub = jax.random.split(key)
         nxt = _sample(logits, sub, top_k, top_p, temperature).astype(jnp.int32)
+        was_finished = finished
         nxt = jnp.where(finished, PAD_ID, nxt)
-        finished = finished | (nxt == EOS_ID)
+        # a live row that SAMPLES the pad id (possible at temperature > 0
+        # with the full vocab exposed) must finish too, or `tokens` grows
+        # holes and lengths = sum(!= PAD) undercounts real decode steps
+        finished = finished | (nxt == EOS_ID) | (~was_finished
+                                                 & (nxt == PAD_ID))
         if full_logits:
             out = logits
         else:
@@ -341,7 +346,7 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
                for _ in range(t.cross_layers))
     cross_kvs = _cross_kvs(params, pooled, t.heads)
 
-    def run(tokens_blk, pos0, tc, mc, n_mm_layers, use_draft_head):
+    def run(tokens_blk, pos0, tc, mc, n_mm_layers):
         """Teacher-forced pass of [B, W] tokens starting at pos0 with cache
         writes; returns (logits [B, W, V], tc, mc)."""
         w = tokens_blk.shape[1]
@@ -375,7 +380,7 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
         def draft_one(c, i):
             tok, dtc = c
             logits, dtc, _ = run(tok[:, None], pos + i, dtc, mc,
-                                 draft_layers, True)
+                                 draft_layers)
             nxt = jnp.argmax(logits[:, 0].astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             return (nxt, dtc), nxt
@@ -389,7 +394,7 @@ def generate_speculative(params: Params, images_u8: jnp.ndarray,
         # ---- verify: one full pass over [cur_tok, d0..d_{w-2}] ------------
         blk_tokens = jnp.concatenate([cur_tok[:, None], drafts[:, :-1]],
                                      axis=1)  # [B, W]
-        logits, tc, mc = run(blk_tokens, pos, tc, mc, t.cross_layers, False)
+        logits, tc, mc = run(blk_tokens, pos, tc, mc, t.cross_layers)
         full_next = jnp.argmax(logits.astype(jnp.float32),
                                axis=-1).astype(jnp.int32)  # [B, W]
         # column j predicts the token at position pos+1+j

@@ -722,10 +722,17 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
         elif head == "focal":
             cls_loss_v = 10.0 * _focal(probs, onehot)
         elif head in ("soft", "softfocal", "msefocal"):
-            # teacher soft targets over foreground classes + bg slot
-            soft = jnp.concatenate([gt_soft[r_gt],
-                                    jnp.zeros((gt_soft.shape[0], 1))[r_gt]],
-                                   axis=-1)
+            # teacher soft targets over foreground classes + bg slot.
+            # gt_soft carries PROBABILITIES (forward stores softmaxed
+            # per-class probs in Detections.logits; SoftConsensusLabeler
+            # outputs probs too) — temperature-soften in LOG space so T=1
+            # reproduces the teacher distribution exactly. Softmaxing the
+            # probs directly would flatten a confident teacher to near-
+            # uniform (the reference's SoftHeadWrapper softmaxes raw,
+            # unbounded logits — log(p) recovers them up to a constant).
+            soft = jnp.concatenate(
+                [jnp.log(jnp.maximum(gt_soft[r_gt], 1e-8)),
+                 jnp.full((r_gt.shape[0], 1), jnp.log(1e-8))], axis=-1)
             soft = jax.nn.softmax(soft / soft_temperature, axis=-1)
             soft = jnp.where(fg[:, None], soft, onehot)
             if head == "soft":

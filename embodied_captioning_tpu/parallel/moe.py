@@ -128,8 +128,11 @@ def moe_mlp(p: Params, x: jnp.ndarray, capacity_factor: float = 1.25,
             ex_in, NamedSharding(mesh, P(None, axis, None, None)))
     # XLA:CPU's DotThunk cannot run bf16 x bf16 -> f32 for the e-batched
     # expert matmuls (TPU MXU can, natively); upcast on CPU only — the
-    # branch is trace-time static, nothing leaks into the TPU program
-    mm_dtype = (jnp.float32 if jax.default_backend() != "tpu"
+    # branch is trace-time static, nothing leaks into the TPU program.
+    # "axon" is the tunneled-TPU backend (same acceptance as common.py
+    # _ln_kernel_ok) — it must keep the bf16 path.
+    mm_dtype = (jnp.float32
+                if jax.default_backend() not in ("tpu", "axon")
                 else compute_dtype)
     ex_in = ex_in.astype(mm_dtype)
     h = jnp.einsum("gecd,edh->gech", ex_in,

@@ -112,16 +112,17 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
         # starve other frames' detections of captions
         _, sel_n = jax.lax.top_k(det.scores * det.valid, spf)  # [E, spf]
         sel = (jnp.arange(e)[:, None] * n + sel_n).reshape(c)  # flat indices
-        boxes_flat = boxes.reshape(e * n, 4)[sel]   # [C, 4]
-        img_idx = sel // n                          # [C]
+        # gather BOXES per frame, never frames per box: images_u8[img_idx]
+        # would materialize spf duplicate copies of every sensor frame
+        # (~157 MB/launch at the large preset) on the hot path
+        boxes_sel = jnp.take_along_axis(boxes, sel_n[..., None], axis=1)
 
-        def crop_one(img, box):
-            return crop_and_resize(img.astype(jnp.float32), box[None],
-                                   crop_size)[0]
+        def crops_sel_one(img, bxs):
+            return crop_and_resize(img.astype(jnp.float32), bxs, crop_size)
 
-        crops = jax.vmap(crop_one)(images_u8[img_idx], boxes_flat)
-        flat = crops.astype(jnp.uint8)              # [C, s, s, 3]
-        row_valid = det.valid.reshape(e * n)[sel]
+        crops = jax.vmap(crops_sel_one)(images_u8, boxes_sel)  # [E,spf,s,s,3]
+        flat = crops.reshape(c, crop_size, crop_size, 3).astype(jnp.uint8)
+        row_valid = jnp.take_along_axis(det.valid, sel_n, axis=1).reshape(c)
     else:
         sel = jnp.arange(e * n)
         row_valid = det.valid.reshape(e * n)
@@ -148,10 +149,15 @@ def perceive(params: PerceptionParams, images_u8: jnp.ndarray, rng,
     # sentence-embed the generated ids directly (shared vocab)
     se_len = cfg.sentence_encoder.max_len
     l = tokens.shape[1]
+    # sbert's pad-mask convention is token id 0 (models/sbert.PAD_ID);
+    # normalize the captioner's pad id to 0 so a ported checkpoint with
+    # pad_id != 0 (CLIP BPE pads with 0 too, but the dataclass permits
+    # anything) can't leak pad tokens into the sentence embedding
+    se_src = jnp.where(tokens == cfg.captioner.text.pad_id, 0, tokens)
     if l >= se_len:
-        se_tokens = tokens[:, :se_len]
+        se_tokens = se_src[:, :se_len]
     else:
-        se_tokens = jnp.pad(tokens, ((0, 0), (0, se_len - l)))
+        se_tokens = jnp.pad(se_src, ((0, 0), (0, se_len - l)))
     emb = SB.encode_tokens(params.sbert, se_tokens, cfg.sentence_encoder)
 
     # scatter compacted results back to [E, N] slots
@@ -218,10 +224,9 @@ class Perceiver:
         if images.ndim == 3:
             images = images[None]
         if images.shape[1] != images.shape[2]:
-            from .ops.image import resize_bilinear as _rs
-
             side = max(images.shape[1], images.shape[2])
-            images = jnp.clip(_rs(images.astype(jnp.float32), side, side),
+            images = jnp.clip(
+                resize_bilinear(images.astype(jnp.float32), side, side),
                               0, 255).astype(jnp.uint8)
         return perceive(self.params, images, sub, self.cfg)
 

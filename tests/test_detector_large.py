@@ -47,6 +47,32 @@ def test_fpn_levels_and_anchor_count():
     assert anchors.shape == ((64 + 16 + 4 + 1) * DET.NUM_ANCHORS, 4)
 
 
+def test_soft_head_preserves_confident_teacher():
+    """gt.logits carries PROBABILITIES (forward stores softmaxed probs):
+    at T=1 / alpha=1 a (near-)one-hot teacher must reduce the soft
+    distillation to ~CE on the same targets. The old formulation softmaxed
+    the probs a second time, flattening a confident teacher to near-uniform
+    (roi_cls would land near -log(1/7) = 1.95 regardless of the student)."""
+    params = DET.init_detector(jax.random.PRNGKey(1), BCFG)
+    imgs = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    cls = jnp.asarray([[1, 2, 3, 0]])
+    gt = Detections(
+        boxes=jnp.asarray([[[8, 8, 30, 30], [30, 30, 60, 60],
+                            [5, 40, 20, 60], [0, 0, 0, 0]]], jnp.float32),
+        classes=cls.astype(jnp.int32),
+        scores=jnp.ones((1, 4)),
+        logits=jax.nn.one_hot(cls, 6) * 0.99 + 0.01 / 6,  # confident probs
+        valid=jnp.asarray([[True, True, True, False]]),
+        masks=jnp.ones((1, 4, 64, 64)),
+    )
+    _, aux_ce = DET.detector_loss(params, imgs, gt, BCFG, head="ce")
+    _, aux_soft = DET.detector_loss(params, imgs, gt, BCFG, head="soft",
+                                    soft_temperature=1.0, soft_alpha=1.0)
+    ce, soft = float(aux_ce["roi_cls"]), float(aux_soft["roi_cls"])
+    assert abs(soft - ce) < 0.15 * max(abs(ce), 1e-3), (ce, soft)
+
+
 def test_bottleneck_loss_and_grads():
     params = DET.init_detector(jax.random.PRNGKey(1), BCFG)
     imgs = jnp.asarray(np.random.default_rng(1).integers(
