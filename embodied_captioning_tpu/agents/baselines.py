@@ -120,11 +120,16 @@ class BaseTrainer:
         if not self.obs_dir:
             return
         for i, env in enumerate(self.envs.envs):
+            # dispatch-time snapshot, NOT live getters: this runs while the
+            # VectorEnv worker thread is already stepping frame t+1, so
+            # env.get_agent_position()/get_step() would race the in-flight
+            # step and record frame t+1's (possibly torn) pose for frame t
+            snap = self.envs.snapshot_at(i)
             payload: Dict[str, object] = {
                 "rgb": np.asarray(obs["rgb"][i]),
                 "depth": np.asarray(obs["depth"][i]),
                 "position": np.array(
-                    Pose(**env.get_agent_position()).to_dict(), dtype=object),
+                    Pose(**snap["position"]).to_dict(), dtype=object),
             }
             if result is not None:
                 det = result.detections
@@ -137,15 +142,15 @@ class BaseTrainer:
                     embeddings=det.embeddings[i])
                 nd = d.to_numpy_dict()
                 obj_ids, ep_ids = unique_ids(d, self.id_alloc,
-                                             env.get_episode_id())
+                                             snap["episode_id"])
                 nd["object_ids"] = obj_ids
                 nd["episode_ids"] = ep_ids
                 caps = self.perceiver.captions(result)[i]
                 nd["captions"] = np.array(caps, dtype=object)
                 payload["bbs"] = np.array({"instances": nd}, dtype=object)
             dir_i = os.path.join(self.obs_dir, f"env{i}")
-            self.saved_paths += save_obs(dir_i, env.get_episode_id(),
-                                         payload, env.get_step())
+            self.saved_paths += save_obs(dir_i, snap["episode_id"],
+                                         payload, snap["step"])
 
     # -- loops -------------------------------------------------------------
     def generate(self, num_steps: Optional[int] = None) -> List[str]:

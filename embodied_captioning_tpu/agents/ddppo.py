@@ -26,9 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import ExperimentConfig
 from ..parallel.mesh import make_mesh
 from ..utils.checkpoint import CheckpointManager, PreemptionGuard
-from ..utils.profiling import PROFILER
 from .goal_exploration import GoalExplorationTrainer
-from .ppo import ppo_update
 from .registry import register_trainer
 from .storage import Rollout
 
@@ -92,65 +90,21 @@ class DistributedPPOTrainer(GoalExplorationTrainer):
 
         return Rollout(*[place(f) for f in rollout])
 
-    def train(self, num_updates: int = 4, decisions_per_update=None):
-        cfg = self.cfg
-        window = cfg.ppo.num_global_steps
-        horizon = decisions_per_update or 8
-        from .storage import RolloutStorage
+    # -- training: the parent's rollout loop (incl. recurrent-policy state,
+    # done-masked GAE, and double-buffered env stepping) with the
+    # distributed deltas layered through the hooks -------------------------
+    def _prepare_rollout(self, rollout: Rollout) -> Rollout:
+        return self._shard_rollout(rollout)
 
-        storage = RolloutStorage(horizon, self.envs.num_envs,
-                                 self.pcfg.map_size, self.pcfg.input_channels)
-        obs = self.envs.observe()
-        maps, orients = self._policy_obs()
-        storage.insert_obs(maps, orients)
-        self._last_reward = self.rewards()
+    def _after_update(self, update: int) -> bool:
+        # cross-host stat reduction is implicit: metrics are replicated
+        self._update_idx += 1
+        if self.ckpt_mgr and self._update_idx % max(
+                1, self.cfg.runtime.save_periodic) == 0:
+            self._save_resume_state()
+        return self.guard.should_exit
 
-        for update in range(num_updates):
-            with PROFILER.range("rollout"):
-                for dec in range(horizon):
-                    self._key, sub = jax.random.split(self._key)
-                    from .policy import act as policy_act
-
-                    a, raw, lp, v = policy_act(
-                        self.ppo_state.params, sub,
-                        jnp.asarray(storage.maps[storage.t]),
-                        jnp.asarray(storage.orientation[storage.t]))
-                    self._goals_from_actions(np.asarray(a))
-                    for _ in range(window):
-                        result = self.perceive_and_fuse(obs)
-                        self.save_step_obs(obs, result)
-                        acts = self.actions(obs)
-                        obs, _, dones, infos = self.envs.step(acts)
-                        self._step += 1
-                    rewards = self._window_rewards()
-                    maps, orients = self._policy_obs()
-                    storage.insert_step(
-                        np.asarray(raw), np.asarray(lp), np.asarray(v),
-                        rewards, np.ones(self.envs.num_envs, np.float32),
-                        maps, orients)
-            with PROFILER.range("update"):
-                from .policy import act as policy_act
-
-                _, _, _, last_v = policy_act(
-                    self.ppo_state.params, self._key,
-                    jnp.asarray(storage.maps[-1]),
-                    jnp.asarray(storage.orientation[-1]),
-                    deterministic=True)
-                rollout = self._shard_rollout(
-                    storage.as_rollout(np.asarray(last_v)))
-                self._key, sub = jax.random.split(self._key)
-                self.ppo_state, metrics = ppo_update(
-                    self.ppo_state, rollout, sub, cfg.ppo)
-            # cross-host stat reduction is implicit: metrics are replicated
-            self.metrics_log.append({k: float(v) for k, v in metrics.items()})
-            storage.after_update()
-            self._update_idx += 1
-            if self.ckpt_mgr and self._update_idx % max(
-                    1, cfg.runtime.save_periodic) == 0:
-                self._save_resume_state()
-            if self.guard.should_exit:
-                break
+    def _finalize_train(self) -> None:
         self.guard.finalize()
         if self.ckpt_mgr:
             self._save_resume_state()
-        return self.metrics_log

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..config import ExperimentConfig
 from ..ops.image import resize_bilinear
+from ..utils.profiling import PROFILER
 from .baselines import _GoalDirectedTrainer
 from .policy import act as policy_act
 from .policy import init_policy
@@ -183,49 +184,79 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         self._last_reward = self.rewards()
 
         for update in range(num_updates):
-            for dec in range(horizon):
+            with PROFILER.range("rollout"):
+                for dec in range(horizon):
+                    self._key, sub = jax.random.split(self._key)
+                    a, raw, lp, v, pre_rnn = self._act(
+                        sub, storage.maps[storage.t],
+                        storage.orientation[storage.t])
+                    self._goals_from_actions(np.asarray(a))
+                    win_done = np.zeros(self.envs.num_envs, bool)
+                    for _ in range(window):
+                        result = self.perceive_and_fuse(obs)
+                        acts = self.actions(obs)
+                        self.envs.step_async(acts)
+                        self.save_step_obs(obs, result)
+                        obs, _, dones, infos = self.envs.step_wait()
+                        win_done |= np.asarray(dones)
+                        self._step += 1
+                    rewards = self._window_rewards()
+                    # episode boundaries: GAE must not bootstrap across a
+                    # finished episode (mask 0 for windows that hit done —
+                    # the env auto-resets, so obs is already the new
+                    # episode), and the GRU state restarts for those envs
+                    if self._rnn is not None:
+                        # (np.where, not item assignment: _rnn may be a
+                        # read-only view of a device array)
+                        self._rnn = np.where(win_done[:, None], 0.0,
+                                             self._rnn).astype(np.float32)
+                    maps, orients = self._policy_obs()
+                    storage.insert_step(
+                        np.asarray(raw), np.asarray(lp), np.asarray(v),
+                        rewards, (~win_done).astype(np.float32),
+                        maps, orients, rnn_state=pre_rnn)
+            with PROFILER.range("update"):
+                # bootstrap + update (value-only query: don't advance the GRU)
+                if self._rnn is None:
+                    _, _, _, last_v = policy_act(
+                        self.ppo_state.params, self._key,
+                        jnp.asarray(storage.maps[-1]),
+                        jnp.asarray(storage.orientation[-1]),
+                        deterministic=True)
+                else:
+                    _, _, _, last_v, _ = policy_act(
+                        self.ppo_state.params, self._key,
+                        jnp.asarray(storage.maps[-1]),
+                        jnp.asarray(storage.orientation[-1]),
+                        deterministic=True, rnn_state=jnp.asarray(self._rnn))
+                rollout = self._prepare_rollout(
+                    storage.as_rollout(np.asarray(last_v)))
                 self._key, sub = jax.random.split(self._key)
-                a, raw, lp, v, pre_rnn = self._act(
-                    sub, storage.maps[storage.t],
-                    storage.orientation[storage.t])
-                self._goals_from_actions(np.asarray(a))
-                for _ in range(window):
-                    result = self.perceive_and_fuse(obs)
-                    acts = self.actions(obs)
-                    self.envs.step_async(acts)
-                    self.save_step_obs(obs, result)
-                    obs, _, dones, infos = self.envs.step_wait()
-                    self._step += 1
-                rewards = self._window_rewards()
-                maps, orients = self._policy_obs()
-                storage.insert_step(np.asarray(raw), np.asarray(lp),
-                                    np.asarray(v), rewards,
-                                    np.ones(self.envs.num_envs, np.float32),
-                                    maps, orients, rnn_state=pre_rnn)
-            # bootstrap + update (value-only query: don't advance the GRU)
-            if self._rnn is None:
-                _, _, _, last_v = policy_act(
-                    self.ppo_state.params, self._key,
-                    jnp.asarray(storage.maps[-1]),
-                    jnp.asarray(storage.orientation[-1]), deterministic=True)
-            else:
-                _, _, _, last_v, _ = policy_act(
-                    self.ppo_state.params, self._key,
-                    jnp.asarray(storage.maps[-1]),
-                    jnp.asarray(storage.orientation[-1]), deterministic=True,
-                    rnn_state=jnp.asarray(self._rnn))
-            rollout = storage.as_rollout(np.asarray(last_v))
-            self._key, sub = jax.random.split(self._key)
-            self.ppo_state, metrics = ppo_update(self.ppo_state, rollout, sub,
-                                                 cfg.ppo)
+                self.ppo_state, metrics = ppo_update(self.ppo_state, rollout,
+                                                     sub, cfg.ppo)
             self.metrics_log.append({k: float(v) for k, v in metrics.items()})
             storage.after_update()
-            if (cfg.runtime.checkpoint_dir
-                    and (update + 1) % max(1, cfg.runtime.save_periodic) == 0):
-                self.save_checkpoint()
-        if cfg.runtime.checkpoint_dir:
-            self.save_checkpoint()
+            if self._after_update(update):
+                break
+        self._finalize_train()
         return self.metrics_log
+
+    # -- hooks (DistributedPPOTrainer layers sharding/elastic-resume here;
+    # keeping ONE rollout loop means fixes like done-masking reach both) ----
+    def _prepare_rollout(self, rollout):
+        return rollout
+
+    def _after_update(self, update: int) -> bool:
+        """Post-update bookkeeping; return True to stop training early."""
+        cfg = self.cfg
+        if (cfg.runtime.checkpoint_dir
+                and (update + 1) % max(1, cfg.runtime.save_periodic) == 0):
+            self.save_checkpoint()
+        return False
+
+    def _finalize_train(self) -> None:
+        if self.cfg.runtime.checkpoint_dir:
+            self.save_checkpoint()
 
     # -- checkpointing (ref: goal_exploration.py:999-1005, :652-659) -------
     def save_checkpoint(self, path: Optional[str] = None) -> str:

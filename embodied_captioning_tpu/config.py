@@ -267,7 +267,10 @@ class MapConfig:
     embed_dim: int = 384
     num_classes: int = NUM_CLASSES
     solution: str = "max"  # seal | bayesian | ours | avg | max
-    height_thresh: Tuple[float, float] = (2.0, 5.0)  # grid-y voxel units band
+    # obstacle height band in world-y METERS (floors sit at y=0 in the
+    # sim, so this marks occupancy just above the floor; the old (2.0,
+    # 5.0) voxel-unit default made the obstacle channel identically empty)
+    height_thresh: Tuple[float, float] = (0.10, 0.25)
     cc_connectivity: int = 26
 
     @staticmethod

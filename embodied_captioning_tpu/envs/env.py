@@ -82,14 +82,19 @@ class EmbodiedEnv:
         obs = self.sim.observe()
         return obs
 
-    def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool,
-                                         Dict]:
+    def step_state(self, action: int) -> Tuple[float, bool, Dict]:
+        """Advance agent/sim state WITHOUT rendering — the VectorEnv
+        batched path renders every env's frame in one device launch."""
         self._collision = self.sim.step(int(action))
         self.step_count += 1
-        obs = self.observe()
         done = self.step_count >= self.cfg.sim.episode_steps
         info = {"collision": self._collision, "step": self.step_count}
-        return obs, 0.0, done, info
+        return 0.0, done, info
+
+    def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool,
+                                         Dict]:
+        reward, done, info = self.step_state(action)
+        return self.observe(), reward, done, info
 
     # -- RPC surface (parity with Habitat3Env) ----------------------------
     def set_goals(self, goals) -> None:

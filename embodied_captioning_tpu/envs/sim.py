@@ -377,13 +377,12 @@ class RaycastSim:
         self._scene_np = jax.tree_util.tree_map(np.asarray, self.scene)
         self.agent = self._spawn(np.random.default_rng(
             (seed if seed is not None else sim_cfg.scene_seed) + 1234))
-        self.last_positions: List[np.ndarray] = []
 
     # -- collision / traversability --------------------------------------
     def _blocked(self, x: float, z: float) -> bool:
         s = self._scene_np
         for i in range(len(s.valid)):
-            if not s.valid[i] or s.class_id[i] < -1:
+            if not s.valid[i]:
                 continue
             mn, mx = s.box_min[i], s.box_max[i]
             if mx[1] <= 0.05 or mn[1] > AGENT_HEIGHT + 0.4:
@@ -421,7 +420,6 @@ class RaycastSim:
         the move (agent_collision_sensor semantics: movement < 0.15 m,
         ref: envs/sensors.py:866-906)."""
         a = self.agent
-        self.last_positions.append(np.array([a.x, a.z]))
         if action == ACTION_FORWARD:
             nx = a.x - np.sin(a.yaw) * self.cfg.forward_step
             nz = a.z - np.cos(a.yaw) * self.cfg.forward_step

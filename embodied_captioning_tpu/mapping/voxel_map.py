@@ -223,8 +223,12 @@ def integrate_frame(state: VoxelMapState, depth: jnp.ndarray,
 
     # ---- voxel scatter of consensus stats + ownership ---------------------
     # flatten pixels of all detections into one scatter; invalid pixels are
-    # redirected to a dump row V (grids padded by one row).
-    pix_ok = pix_masks & inb[None]  # [N, H, W]
+    # redirected to a dump row V (grids padded by one row). Detections
+    # dropped on object-table overflow (slot == -1) dump entirely: their
+    # stats must not accumulate, and writing -1 into vox_obj would erase a
+    # real object's voxel ownership (its disagreement contribution with it).
+    ok_det = usable & (slots >= 0)
+    pix_ok = pix_masks & inb[None] & ok_det[:, None, None]  # [N, H, W]
     tgt = jnp.where(pix_ok, flat_idx[None], V).reshape(n_det, -1)  # [N, P]
     P = tgt.shape[1]
 

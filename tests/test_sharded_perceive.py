@@ -96,4 +96,58 @@ def test_vector_env_async_step():
     envs.async_step_at(0, 2)
     o, r, d, i = envs.wait_step_at(0)
     assert "rgb" in o
+    # waiting without a dispatch is a caller bug, not a silent extra step
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        envs.wait_step_at(0)
+    envs.close()
+
+
+def test_vector_env_batched_render_matches_per_env():
+    """The one-launch batched render path (stock EmbodiedEnv over
+    RaycastSim) must produce exactly what per-env env.step rendering would,
+    and pose snapshots must reflect dispatch-time state."""
+    from embodied_captioning_tpu.envs.vector_env import VectorEnv
+
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=2", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "map.voxel_size=0.1"])
+    envs = VectorEnv(cfg)
+    assert envs._batched_render_ok()
+    pos_before = [envs.envs[i].get_agent_position()["position"].copy()
+                  for i in range(2)]
+    envs.step_async([1, 1])  # forward: state will move
+    snaps = [envs.snapshot_at(i) for i in range(2)]
+    obs, _, dones, _ = envs.step_wait()
+    for i in range(2):  # snapshot = pre-step pose even after the step ran
+        np.testing.assert_allclose(snaps[i]["position"]["position"],
+                                   pos_before[i])
+    # parity with the per-env render of the SAME post-step state
+    ref = envs.observe()
+    np.testing.assert_array_equal(np.asarray(obs["rgb"]),
+                                  np.asarray(ref["rgb"]))
+    np.testing.assert_allclose(np.asarray(obs["depth"]),
+                               np.asarray(ref["depth"]), rtol=1e-5)
+    envs.close()
+
+
+def test_vector_env_auto_resets_on_done():
+    """habitat auto_reset_done contract: the obs for a done step is the
+    next episode's first observation and the episode id advances."""
+    from embodied_captioning_tpu.envs.vector_env import VectorEnv
+
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=1", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "map.voxel_size=0.1",
+        "sim.episode_steps=2"])
+    envs = VectorEnv(cfg)
+    ep0 = envs.envs[0].get_episode_id()
+    _, _, d1, _ = envs.step([0])
+    assert not d1[0]
+    obs, _, d2, _ = envs.step([0])
+    assert d2[0]
+    assert envs.envs[0].get_episode_id() == ep0 + 1
+    assert envs.envs[0].get_step() == 0  # fresh episode
+    assert obs["rgb"].shape[0] == 1
     envs.close()
