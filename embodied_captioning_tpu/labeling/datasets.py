@@ -38,6 +38,8 @@ class Sample:
     object_ids: np.ndarray            # [N]
     depth: Optional[np.ndarray] = None
     pose: Optional[np.ndarray] = None  # [4, 4] T_world_cam
+    scores: Optional[np.ndarray] = None       # [N] detector confidence
+    embeddings: Optional[np.ndarray] = None   # [N, E] caption embeddings
     episode: int = -1
     step: int = -1
     camera: int = 0

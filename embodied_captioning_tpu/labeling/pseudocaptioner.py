@@ -116,17 +116,23 @@ class PseudoCaptioner:
         centroid /= max(np.linalg.norm(centroid), 1e-9)
         return captions[int(np.argmax(emb @ centroid))]
 
-    def _tfidf_consensus(self, captions: List[str],
-                         all_groups: Dict) -> str:
-        """tf-idf ranking (ref: scripts/consensus.py:16-114): score each
-        caption by the sum of tf-idf weights of its words; idf over all
-        objects' caption sets."""
+    @staticmethod
+    def _df_table(all_groups: Dict) -> Tuple[Counter, int]:
+        """Document-frequency table over every object's caption set —
+        depends only on the groups, so consensus() computes it ONCE (it was
+        rebuilt per object, making the tfidf method O(G^2))."""
         docs = [" ".join(v).lower() for v in all_groups.values()]
-        n_docs = max(len(docs), 1)
         df: Counter = Counter()
         for d in docs:
             for w in set(d.split()):
                 df[w] += 1
+        return df, max(len(docs), 1)
+
+    def _tfidf_consensus(self, captions: List[str], df: Counter,
+                         n_docs: int) -> str:
+        """tf-idf ranking (ref: scripts/consensus.py:16-114): score each
+        caption by the sum of tf-idf weights of its words; idf over all
+        objects' caption sets."""
         freqs = caption_frequencies(captions)
 
         def score(c: str) -> float:
@@ -148,11 +154,18 @@ class PseudoCaptioner:
 
         p = self._get_perceiver()
         cfg = p.cfg.captioner
-        tok = p.tokenizer.encode_batch(captions, cfg.text.context_length)
-        imgs = jnp.asarray(np.tile(crop[None], (len(captions), 1, 1, 1)))
+        # bucket the caption count to a power of two: forward() compiles per
+        # batch shape, and group sizes vary (fixed-shape convention)
+        k = len(captions)
+        cap = 1
+        while cap < k:
+            cap *= 2
+        padded = list(captions) + [""] * (cap - k)
+        tok = p.tokenizer.encode_batch(padded, cfg.text.context_length)
+        imgs = jnp.asarray(np.tile(crop[None], (cap, 1, 1, 1)))
         _, img_emb, txt_emb = forward(p.params.captioner, imgs,
                                       jnp.asarray(tok), cfg)
-        scores = np.asarray(jnp.sum(img_emb * txt_emb, axis=-1))
+        scores = np.asarray(jnp.sum(img_emb * txt_emb, axis=-1))[:k]
         return captions[int(np.argmax(scores))]
 
     def _llm_consensus(self, captions: List[str]) -> str:
@@ -187,6 +200,8 @@ class PseudoCaptioner:
                   ) -> Dict[str, str]:
         """Distill each object's caption set to one pseudo-caption."""
         out: Dict[str, str] = {}
+        df, n_docs = (self._df_table(groups) if self.method == "tfidf"
+                      else (None, 0))
         for key, caps in groups.items():
             caps = filter_banned(caps)
             if not caps:
@@ -196,7 +211,7 @@ class PseudoCaptioner:
             elif self.method in ("clip", "itc") and crops and key in crops:
                 chosen = self._clip_consensus(caps, crops[key])
             elif self.method == "tfidf":
-                chosen = self._tfidf_consensus(caps, groups)
+                chosen = self._tfidf_consensus(caps, df, n_docs)
             elif self.method == "llm":
                 chosen = self._llm_consensus(caps)
             else:
@@ -214,15 +229,22 @@ class PseudoCaptioner:
         return result
 
 
+_HF_LLM_CACHE: Dict[str, Tuple] = {}
+
+
 def _hf_llm_consensus(model_path: str, captions: List[str]) -> str:
     """Prompted consensus with a local HF causal LM (the reference prompts
-    Llama-3-8B-Instruct with <Caption> tags, ref :364-447)."""
+    Llama-3-8B-Instruct with <Caption> tags, ref :364-447). The model loads
+    ONCE per path — consensus() calls this per object group."""
     import torch
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(model_path)
-    model = AutoModelForCausalLM.from_pretrained(model_path,
-                                                 torch_dtype=torch.float32)
+    if model_path not in _HF_LLM_CACHE:
+        _HF_LLM_CACHE[model_path] = (
+            AutoTokenizer.from_pretrained(model_path),
+            AutoModelForCausalLM.from_pretrained(
+                model_path, torch_dtype=torch.float32))
+    tok, model = _HF_LLM_CACHE[model_path]
     listing = "\n".join(f"<Caption>{c}</Caption>" for c in captions)
     prompt = (
         "You are given multiple captions of the same object seen from "

@@ -54,25 +54,40 @@ class ConsensusLabeler:
             result = self.perceiver.process(batch["image"])
             det = result.detections
             for b in range(batch["image"].shape[0]):
-                n = det.valid.shape[1]
-                pred = Sample(
-                    image=batch["image"][b],
-                    boxes=np.asarray(det.boxes[b]),
-                    classes=np.asarray(det.classes[b]),
-                    logits=np.asarray(det.logits[b]),
-                    masks=np.asarray(det.masks[b]),
-                    valid=np.asarray(det.valid[b]),
-                    object_ids=np.full((n,), -1, np.int64),
-                    episode=int(batch["episode"][b]),
-                    step=int(batch["step"][b]),
-                )
-                if "depth" in batch:
-                    pred.depth = batch["depth"][b]
-                if "pose" in batch:
-                    pred.pose = batch["pose"][b]
+                pred = self._build_sample(det, batch, b)
                 pred.object_ids = self._match_ids(pred, batch, b)
+                self._collect(pred, det, result, b)
                 outs.append(pred)
         return outs
+
+    def _build_sample(self, det: Detections, batch, b: int) -> Sample:
+        # np.array (copy), NOT np.asarray: jax arrays view as READ-ONLY
+        # numpy, and the consensus stages write labels in place
+        n = det.valid.shape[1]
+        pred = Sample(
+            image=batch["image"][b],
+            boxes=np.array(det.boxes[b]),
+            classes=np.array(det.classes[b]),
+            logits=np.array(det.logits[b]),
+            masks=np.array(det.masks[b]),
+            valid=np.array(det.valid[b]),
+            scores=np.array(det.scores[b]),
+            object_ids=np.full((n,), -1, np.int64),
+            episode=int(batch["episode"][b]),
+            step=int(batch["step"][b]),
+        )
+        if det.embeddings is not None:
+            pred.embeddings = np.array(det.embeddings[b])
+        if "depth" in batch:
+            pred.depth = batch["depth"][b]
+        if "pose" in batch:
+            pred.pose = batch["pose"][b]
+        return pred
+
+    def _collect(self, pred: Sample, det: Detections, result, b: int
+                 ) -> None:
+        """Hook for subclasses that harvest extra per-frame outputs
+        (captions, embeddings) from the perception result."""
 
     def _match_ids(self, pred: Sample, batch, b) -> np.ndarray:
         """IoU-match predictions to the frame's labeled instances to inherit
@@ -105,10 +120,19 @@ class ConsensusLabeler:
         frame npz files to pseudolabeler.output_folder)."""
         paths = []
         for p in preds:
+            # real per-detection confidence when the predictor provided it
+            # (uniform 1.0 would defeat downstream score thresholding);
+            # fall back to max class prob, then to the validity mask
+            if p.scores is not None:
+                scores = np.asarray(p.scores, np.float32)
+            elif p.logits is not None:
+                scores = p.logits.max(-1).astype(np.float32)
+            else:
+                scores = p.valid.astype(np.float32)
             payload = {
                 "boxes": p.boxes, "classes": p.classes, "logits": p.logits,
                 "valid": p.valid, "object_ids": p.object_ids,
-                "scores": p.valid.astype(np.float32),
+                "scores": scores * p.valid,
             }
             if p.masks is not None:
                 payload["masks"] = p.masks
@@ -216,13 +240,20 @@ class SemanticMapConsensusLabeler(ConsensusLabeler):
             if p.depth is None or p.pose is None:
                 continue
             state = self._map_for(p.episode)
-            emb = np.zeros((len(p.valid), self.cfg.map.embed_dim), np.float32)
+            # fuse caption embeddings into the map's per-object ring buffers
+            # when the predictor produced them (SemanticMapConsensusCaptioner
+            # path — embedding_disagreement needs them); zeros otherwise
+            if (p.embeddings is not None
+                    and p.embeddings.shape[-1] == self.cfg.map.embed_dim):
+                emb = np.asarray(p.embeddings, np.float32)
+            else:
+                emb = np.zeros((len(p.valid), self.cfg.map.embed_dim),
+                               np.float32)
             masks = p.masks
             if masks.shape[-2:] != p.depth.shape:
                 from .datasets import _resize_masks
 
                 masks = _resize_masks(masks, *p.depth.shape)
-            scale_x = p.depth.shape[1] / p.image.shape[1]
             self.global_maps[p.episode] = V.integrate_frame(
                 state, jnp.asarray(p.depth), jnp.asarray(p.pose),
                 jnp.asarray(masks), jnp.asarray(p.classes),
@@ -268,39 +299,23 @@ class SemanticMapConsensusCaptioner(SemanticMapConsensusLabeler):
     (ref :549-845 ConsensusCaptioner/SemanticMapConsensusCaptioner)."""
 
     def predict(self, dataset, batch_size: int = 8) -> List[Sample]:
-        outs: List[Sample] = []
         self.captions: Dict[Tuple[int, int], List[str]] = defaultdict(list)
         self.embeddings: Dict[Tuple[int, int], List[np.ndarray]] = \
             defaultdict(list)
-        for batch in dataset.batches(batch_size):
-            result = self.perceiver.process(batch["image"])
-            det = result.detections
-            caps = self.perceiver.captions(result)
-            for b in range(batch["image"].shape[0]):
-                n = det.valid.shape[1]
-                pred = Sample(
-                    image=batch["image"][b],
-                    boxes=np.asarray(det.boxes[b]),
-                    classes=np.asarray(det.classes[b]),
-                    logits=np.asarray(det.logits[b]),
-                    masks=np.asarray(det.masks[b]),
-                    valid=np.asarray(det.valid[b]),
-                    object_ids=np.full((n,), -1, np.int64),
-                    episode=int(batch["episode"][b]),
-                    step=int(batch["step"][b]),
-                )
-                if "depth" in batch:
-                    pred.depth = batch["depth"][b]
-                if "pose" in batch:
-                    pred.pose = batch["pose"][b]
-                pred.object_ids = self._match_ids(pred, batch, b)
-                emb = np.asarray(det.embeddings[b])
-                for i in np.nonzero(pred.valid)[0]:
-                    key = (pred.episode, int(pred.object_ids[i]))
-                    self.captions[key].append(caps[b][int(i)])
-                    self.embeddings[key].append(emb[i])
-                outs.append(pred)
-        return outs
+        self._caps_cache: Tuple[int, Optional[List]] = (-1, None)
+        return super().predict(dataset, batch_size)
+
+    def _collect(self, pred: Sample, det: Detections, result, b: int
+                 ) -> None:
+        # decode each batch's captions once (called per sample)
+        if self._caps_cache[0] != id(result):
+            self._caps_cache = (id(result), self.perceiver.captions(result))
+        caps = self._caps_cache[1]
+        for i in np.nonzero(pred.valid)[0]:
+            key = (pred.episode, int(pred.object_ids[i]))
+            self.captions[key].append(caps[b][int(i)])
+            if pred.embeddings is not None:
+                self.embeddings[key].append(pred.embeddings[i])
 
     def recaption(self, pseudo: List[Sample]) -> Dict[Tuple[int, int], str]:
         """Caption each raytraced pseudo-instance crop (ref :751-845 final
@@ -323,12 +338,22 @@ class SemanticMapConsensusCaptioner(SemanticMapConsensusLabeler):
 
         cfg = self.cfg.captioner
         h, w = image.shape[:2]
-        eb = expand_boxes(jnp.asarray(boxes, jnp.float32), 0.2, h, w)
+        # pad the box count to a power-of-two bucket: generate() compiles
+        # per distinct batch shape, and per-frame detection counts vary
+        # 1..N (fixed-shape convention; same bucketing as sbert.encode)
+        k = len(boxes)
+        cap = 1
+        while cap < k:
+            cap *= 2
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:k] = boxes
+        eb = expand_boxes(jnp.asarray(padded), 0.2, h, w)
         crops = crop_and_resize(jnp.asarray(image, jnp.float32), eb,
                                 cfg.vision.image_size).astype(jnp.uint8)
         toks, _, _ = generate(self.perceiver.params.captioner, crops,
                               jax.random.PRNGKey(0), cfg)
-        return [self.perceiver.tokenizer.decode(t) for t in np.asarray(toks)]
+        return [self.perceiver.tokenizer.decode(t)
+                for t in np.asarray(toks)[:k]]
 
 
 CONSENSUS_REGISTRY = {

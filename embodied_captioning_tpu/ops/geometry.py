@@ -156,5 +156,8 @@ def reproject_box(box: jnp.ndarray, depth: jnp.ndarray, pose_src: jnp.ndarray,
     x2 = jnp.max(jnp.where(ok, pix[..., 0], -big))
     y2 = jnp.max(jnp.where(ok, pix[..., 1], -big))
     any_ok = jnp.any(ok)
-    out = jnp.stack([x1, y1, x2, y2])
-    return jnp.where(any_ok, jnp.clip(out, 0, max(h, w)), jnp.zeros(4))
+    # clip x to image WIDTH and y to HEIGHT (one shared bound would let
+    # boxes extend past the short side of non-square frames)
+    out = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+                     jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)])
+    return jnp.where(any_ok, out, jnp.zeros(4))

@@ -28,19 +28,24 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 def _interp_weights(src: jnp.ndarray, in_n: int,
                     zero_outside: bool = False) -> jnp.ndarray:
     """Dense bilinear weight matrix W [S, in_n] for source coords `src` [S]
-    (2-tap hat weights at floor/ceil). With `zero_outside`, coords outside
-    [-0.5, in_n - 0.5] contribute zeros instead of clamping."""
-    inside = (src > -1.0) & (src < in_n)
+    (2-tap hat weights at floor/ceil). With `zero_outside`, out-of-range
+    taps contribute ZERO (grid_sample zero-padding semantics): weights
+    taper linearly to 0 across [-1, 0] and [in_n-1, in_n] instead of
+    clamping — a coord in (-1, -0.5) must NOT get full weight on pixel 0
+    (detectron2 paste_masks_in_image boundary parity)."""
+    ys = jnp.arange(in_n)[None, :]
+    if zero_outside:
+        i0 = jnp.floor(src).astype(jnp.int32)
+        f = src - i0.astype(jnp.float32)
+        # taps outside [0, in_n-1] never match ys -> contribute zero
+        return (jnp.where(ys == i0[:, None], 1.0 - f[:, None], 0.0)
+                + jnp.where(ys == (i0 + 1)[:, None], f[:, None], 0.0))
     s = jnp.clip(src, 0.0, in_n - 1.0)
     i0 = jnp.floor(s).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, in_n - 1)
     f = s - i0.astype(jnp.float32)
-    ys = jnp.arange(in_n)[None, :]
-    w = (jnp.where(ys == i0[:, None], 1.0 - f[:, None], 0.0)
-         + jnp.where(ys == i1[:, None], f[:, None], 0.0))
-    if zero_outside:
-        w = w * inside[:, None]
-    return w
+    return (jnp.where(ys == i0[:, None], 1.0 - f[:, None], 0.0)
+            + jnp.where(ys == i1[:, None], f[:, None], 0.0))
 
 
 def _src_coords(out_n: int, in_n: int, align_corners: bool) -> jnp.ndarray:

@@ -144,6 +144,55 @@ def test_soft_consensus():
     assert all(p.classes[0] == 1 for p in out)
 
 
+def test_build_sample_is_writable_from_device_arrays():
+    """Samples built from the jitted Perceiver's output must be writable
+    numpy (np.asarray of a jax array is a READ-ONLY view; the consensus
+    stages relabel in place) and must carry the real detector scores."""
+    import jax.numpy as jnp
+
+    from embodied_captioning_tpu.labeling.pseudolabeler import (
+        ConsensusLabeler,
+    )
+    from embodied_captioning_tpu.ops.detections import Detections
+
+    n = 2
+    det = Detections(
+        boxes=jnp.asarray([[[1, 1, 5, 5], [2, 2, 6, 6]]], jnp.float32),
+        classes=jnp.asarray([[1, 3]], jnp.int32),
+        scores=jnp.asarray([[0.9, 0.4]], jnp.float32),
+        logits=jnp.asarray(np.eye(NUM_CLASSES, dtype=np.float32)[[[1, 3]]]),
+        valid=jnp.asarray([[True, True]]),
+        masks=jnp.ones((1, n, 8, 8)),
+        embeddings=jnp.ones((1, n, 4)),
+    )
+    batch = {"image": np.zeros((1, 8, 8, 3), np.uint8),
+             "episode": np.array([0]), "step": np.array([0])}
+    labeler = ConsensusLabeler.__new__(ConsensusLabeler)
+    pred = labeler._build_sample(det, batch, 0)
+    for arr in (pred.boxes, pred.classes, pred.logits, pred.valid):
+        assert arr.flags.writeable
+    pred.logits[0] = 0.5  # the in-place relabel the consensus stages do
+    pred.classes[0] = 2
+    np.testing.assert_allclose(pred.scores, [0.9, 0.4])
+    assert pred.embeddings is not None and pred.embeddings.shape == (n, 4)
+
+
+def test_save_pseudo_labels_real_scores(tmp_path):
+    """Written npz must carry detector confidence, not uniform 1.0."""
+    from embodied_captioning_tpu.labeling.pseudolabeler import (
+        ConsensusLabeler,
+    )
+
+    preds = _fake_preds()
+    for p in preds:
+        p.scores = np.array([0.7] * len(p.valid), np.float32)
+    paths = ConsensusLabeler.save_pseudo_labels(preds, str(tmp_path))
+    raw = np.load(paths[0], allow_pickle=True)["arr_0"].item()
+    payload = raw["instances"]
+    valid = payload["valid"]
+    np.testing.assert_allclose(payload["scores"][valid], 0.7)
+
+
 def test_group_and_filter_captions():
     recs = [
         {"episode": 0, "object_id": 5, "caption": "a red couch"},
