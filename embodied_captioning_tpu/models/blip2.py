@@ -100,34 +100,48 @@ def init_blip2(key, cfg: Blip2Config) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def qformer(params: Params, img_feats: jnp.ndarray, cfg: Blip2Config,
+def qformer(params: Params, img_feats: Optional[jnp.ndarray],
+            cfg: Blip2Config,
             text_tokens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Queries (and optional text) attend jointly; queries cross-attend the
-    image. Returns [B, Q(+T), width] features."""
-    b = img_feats.shape[0]
-    x = jnp.broadcast_to(params["queries"][None], (b,) +
-                         params["queries"].shape).astype(jnp.bfloat16)
+    image. `img_feats=None` is the UNIMODAL TEXT mode (BLIP-2's ITC text
+    branch): text self-attends only — no queries, no image cross-attention,
+    so the resulting embedding is image-independent. Returns
+    [B, Q(+T), width] (or [B, T, width] in text mode)."""
     nq = cfg.num_queries
-    if text_tokens is not None:
+    if img_feats is None:
+        if text_tokens is None:
+            raise ValueError("text_tokens required in unimodal text mode")
+        nq = 0
         t = text_tokens.shape[1]
-        txt = (params["q_tok_emb"][text_tokens]
-               + params["q_pos"][None, :t]).astype(jnp.bfloat16)
-        x = jnp.concatenate([x, txt], axis=1)
-        pad = text_tokens != PAD_ID
-        attn_mask = jnp.concatenate(
-            [jnp.ones((b, nq), bool), pad], axis=1)[:, None, None, :]
+        x = (params["q_tok_emb"][text_tokens]
+             + params["q_pos"][None, :t]).astype(jnp.bfloat16)
+        attn_mask = (text_tokens != PAD_ID)[:, None, None, :]
     else:
-        attn_mask = None
+        b = img_feats.shape[0]
+        x = jnp.broadcast_to(params["queries"][None], (b,) +
+                             params["queries"].shape).astype(jnp.bfloat16)
+        if text_tokens is not None:
+            t = text_tokens.shape[1]
+            txt = (params["q_tok_emb"][text_tokens]
+                   + params["q_pos"][None, :t]).astype(jnp.bfloat16)
+            x = jnp.concatenate([x, txt], axis=1)
+            pad = text_tokens != PAD_ID
+            attn_mask = jnp.concatenate(
+                [jnp.ones((b, nq), bool), pad], axis=1)[:, None, None, :]
+        else:
+            attn_mask = None
     for blk in params["q_blocks"]:
         # self-attention over [queries ; text]
         h, _ = mha(blk["attn"], layernorm(blk["ln1"], x), cfg.qformer_heads,
                    mask=attn_mask)
         x = x + h
-        # only queries cross-attend into the image
-        q_part = x[:, :nq]
-        h, _ = mha(blk["xattn"], layernorm(blk["ln_x"], q_part),
-                   cfg.qformer_heads, kv=img_feats)
-        x = x.at[:, :nq].add(h)
+        if img_feats is not None:
+            # only queries cross-attend into the image
+            q_part = x[:, :nq]
+            h, _ = mha(blk["xattn"], layernorm(blk["ln_x"], q_part),
+                       cfg.qformer_heads, kv=img_feats)
+            x = x.at[:, :nq].add(h)
         from .common import mlp
 
         x = x + mlp(blk["mlp"], layernorm(blk["ln2"], x))
@@ -149,17 +163,17 @@ def encode_image_queries(params: Params, images_u8: jnp.ndarray,
 def itc_score(params: Params, images_u8: jnp.ndarray, tokens: jnp.ndarray,
               cfg: Blip2Config) -> jnp.ndarray:
     """Image-text contrastive score [B]: max over queries of cosine(query
-    embedding, text embedding) — BLIP-2 ITC semantics."""
+    embedding, text embedding) — BLIP-2 ITC semantics. The text embedding
+    comes from the Q-Former's UNIMODAL text mode: a joint image-text pass
+    would let text attend queries that cross-attended the image, image-
+    contaminating the "contrastive" text branch (and it would re-run the
+    ViT encoder a second time)."""
     q = encode_image_queries(params, images_u8, cfg)
     qe = dense(params["itc_img"], q).astype(jnp.float32)
     qe = qe / jnp.maximum(jnp.linalg.norm(qe, axis=-1, keepdims=True), 1e-8)
-    b = tokens.shape[0]
-    feats = vit_features(params["vision"], preprocess_for_vit(
-        images_u8, cfg.vision.image_size, cfg.vision.patch_size), cfg.vision)
-    txt_feats = qformer(params, feats, cfg, text_tokens=tokens)
-    nq = cfg.num_queries
+    txt_feats = qformer(params, None, cfg, text_tokens=tokens)
     pad = (tokens != PAD_ID).astype(jnp.float32)[..., None]
-    te = jnp.sum(txt_feats[:, nq:] * pad, axis=1) / jnp.maximum(
+    te = jnp.sum(txt_feats * pad, axis=1) / jnp.maximum(
         jnp.sum(pad, axis=1), 1.0)
     te = dense(params["itc_txt"], te).astype(jnp.float32)
     te = te / jnp.maximum(jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-8)

@@ -267,8 +267,12 @@ class Florence:
         return out
 
     def detect(self, images_u8: np.ndarray):
+        """Detection-as-language. Location bins are decoded into INPUT-image
+        pixel coordinates (bins are relative; the ViT resizes internally,
+        so decoding at cfg.vision.image_size would return boxes in the
+        model's internal frame, not the caller's)."""
         toks, _ = generate(self.params, jnp.asarray(images_u8), self.cfg,
                            task=TASK_OD)
-        return [decode_od_sequence(row[2:], self.cfg.vision.image_size,
-                                   self.cfg)
+        side = images_u8.shape[1]
+        return [decode_od_sequence(row[2:], side, self.cfg)
                 for row in np.asarray(toks)]

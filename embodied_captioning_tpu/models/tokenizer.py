@@ -28,6 +28,7 @@ BOS_ID = 1
 EOS_ID = 2
 UNK_ID = 3
 BYTE_OFFSET = 4
+CLIP_VOCAB_SIZE = 49408  # full-scale table size (== config.CLIP_VOCAB_SIZE)
 NUM_SPECIALS = 4
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
@@ -286,9 +287,18 @@ def default_tokenizer(vocab_size: int = 1024) -> Tokenizer:
         if os.path.exists(DEFAULT_MERGES_PATH):
             _DEFAULT = Tokenizer.load(DEFAULT_MERGES_PATH)
         else:
+            # missing package data (broken checkout): train a fallback at
+            # the REQUESTED size, but only a full-scale table may become
+            # the persisted default — persisting the first caller's small
+            # table would silently undertrain every later larger-vocab
+            # caller (the committed table is CLIP_VOCAB_SIZE merges)
             merges = train_bpe(builtin_corpus(), vocab_size)
-            _DEFAULT = Tokenizer(merges, vocab_size)
-            _DEFAULT.save(DEFAULT_MERGES_PATH)
+            tok = Tokenizer(merges, vocab_size)
+            if vocab_size == CLIP_VOCAB_SIZE:
+                tok.save(DEFAULT_MERGES_PATH)
+                _DEFAULT = tok
+            _SIZED[vocab_size] = tok
+            return tok
     tok = _DEFAULT
     n_merges = vocab_size - (BYTE_OFFSET + 256)
     if len(tok.merges) > n_merges or tok.vocab_size != vocab_size:

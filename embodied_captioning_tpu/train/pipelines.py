@@ -222,12 +222,17 @@ class Pipeline:
     """End-to-end: explore -> pseudo-label -> fit student -> refresh teacher
     (ref: pipelines.py:664-877)."""
 
+    # subclasses swap the teacher-student flavour here — building the base
+    # TeacherStudent and discarding it would double-pay detector+perceiver
+    # init and silently drop the caller's consensus choice
+    TS_CLS = TeacherStudent
+
     def __init__(self, cfg: ExperimentConfig, trainer_name: str =
                  "randombaseline", consensus: str = "soft",
                  head: str = "focal", use_ema: bool = False):
         self.cfg = cfg
         self.trainer_name = trainer_name
-        self.ts = TeacherStudent(cfg, consensus=consensus, head=head)
+        self.ts = self.TS_CLS(cfg, consensus=consensus, head=head)
         self.use_ema = use_ema
 
     def collect_pseudolabeled_dataset(self, obs_dir: str,
@@ -252,12 +257,23 @@ class Pipeline:
         preds = self.ts.labeler.predict(dataset)
         return self.ts.labeler.get_pseudo_labels(preds)
 
+    @staticmethod
+    def _batch_starts(n: int, batch_size: int):
+        """Full batches, dropping the tail (fixed-shape jit) — but a round
+        smaller than one batch trains on what it has (a single undersized
+        batch; zero training steps would silently waste the round)."""
+        starts = list(range(0, n - batch_size + 1, batch_size))
+        if not starts and n > 0:
+            return [0], n
+        return starts, batch_size
+
     def fit_student(self, labeled: List[Sample], epochs: int = 1,
                     batch_size: int = 4) -> List[Dict[str, float]]:
         logs = []
+        starts, bs = self._batch_starts(len(labeled), batch_size)
         for _ in range(epochs):
-            for i in range(0, len(labeled) - batch_size + 1, batch_size):
-                batch = collate(labeled[i:i + batch_size])
+            for i in starts:
+                batch = collate(labeled[i:i + bs])
                 logs.append(self.ts.training_step(batch))
                 if self.use_ema:
                     self.ts.update_teacher_ema()
@@ -267,7 +283,8 @@ class Pipeline:
                   epochs: int = 1) -> List[Dict[str, float]]:
         labeled = self.collect_pseudolabeled_dataset(obs_dir, num_steps)
         logs = self.fit_student(labeled, epochs)
-        if not self.use_ema:
+        # an untrained-this-round student must not overwrite the teacher
+        if logs and not self.use_ema:
             self.ts.replace_teacher()
         return logs
 
@@ -302,9 +319,7 @@ class GTPipeline(Pipeline):
 class OnlinePipeline(Pipeline):
     """Online distillation variant (ref: :879-924)."""
 
-    def __init__(self, cfg, **kw):
-        super().__init__(cfg, **kw)
-        self.ts = OnlineTeacherStudent(cfg, head=self.ts.head)
+    TS_CLS = OnlineTeacherStudent
 
 
 class SWAPipeline(Pipeline):
@@ -319,10 +334,13 @@ class SWAPipeline(Pipeline):
 
     def fit_student(self, labeled, epochs: int = 1, batch_size: int = 4):
         logs = []
+        starts, bs = self._batch_starts(len(labeled), batch_size)
         for _ in range(epochs):
-            for i in range(0, len(labeled) - batch_size + 1, batch_size):
-                batch = collate(labeled[i:i + batch_size])
+            for i in starts:
+                batch = collate(labeled[i:i + bs])
                 logs.append(self.ts.training_step(batch))
+                if self.use_ema:  # SWA composes with an EMA teacher
+                    self.ts.update_teacher_ema()
                 self._count += 1
                 if self._count % self.snapshot_every == 0:
                     self._snapshots.append(jax.tree_util.tree_map(

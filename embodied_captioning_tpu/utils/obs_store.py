@@ -123,8 +123,11 @@ class SampleLoader:
             max_repeat: int = 1):
         """Flat (episodes, steps) over all indexed files, keeping at most
         `max_repeat` consecutive duplicates of a step (one entry per step
-        instead of one per modality; ref: replay.py:104-116)."""
-        mask = mask_more_n(self.steps_list, max_repeat)
+        instead of one per modality; ref: replay.py:104-116). Runs are
+        keyed on (episode, step), not the bare step — a run keyed on step
+        alone would swallow the next episode's identical first step."""
+        key = self.episode_list * 100000 + self.steps_list  # step < 1e5
+        mask = mask_more_n(key, max_repeat)
         if filter_episodes is not None:
             allowed = set(int(e) for e in filter_episodes)
             mask &= np.asarray([int(e) in allowed for e in self.episode_list])
@@ -164,21 +167,36 @@ class SampleLoader:
         path = self.get_path(episode, camera, modality, step)
         return get_class_from_modality_code(modality).load(path)
 
+    def camera_of(self, episode: int, modality: str,
+                  prefer: int = 0) -> Optional[int]:
+        """Camera id holding `modality` — save_obs (matching the reference
+        schema, ref: sensors_utils.py:44) enumerates ONE camera id per
+        modality, so rgb and depth live under different ids."""
+        cams = self.paths.get(episode, {})
+        if modality in cams.get(prefer, {}):
+            return prefer
+        for cam in sorted(cams):
+            if modality in cams[cam]:
+                return cam
+        return None
+
     def iter_steps(self, episode: int, camera: int = 0,
                    modalities: Optional[Iterable[str]] = None):
         """Yield (step, {modality: Sense}) over steps where all requested
-        modalities exist."""
-        mods = list(modalities or self.modalities(episode, camera))
-        step_sets = [set(self.steps(episode, camera, m)) for m in mods]
+        modalities exist. Modalities are located across camera ids
+        (`camera` is only the preferred id): one id per modality is the
+        on-disk schema, so an intersection within a single camera would
+        always be empty for multi-modality requests."""
+        if modalities is None:
+            mods = sorted({m for cams in self.paths.get(episode, {}).values()
+                           for m in cams})
+        else:
+            mods = list(modalities)
+        cam_of = {m: self.camera_of(episode, m, camera) for m in mods}
+        if any(c is None for c in cam_of.values()):
+            return
+        step_sets = [set(self.steps(episode, cam_of[m], m)) for m in mods]
         common = sorted(set.intersection(*step_sets)) if step_sets else []
         for step in common:
-            yield step, {m: self.get_sample(episode, camera, m, step)
+            yield step, {m: self.get_sample(episode, cam_of[m], m, step)
                          for m in mods}
-
-    def __len__(self) -> int:
-        return sum(
-            len(steps)
-            for cams in self.paths.values()
-            for mods in cams.values()
-            for steps in mods.values()
-        )

@@ -30,7 +30,8 @@ def main() -> None:
     from embodied_captioning_tpu.utils.obs_store import SampleLoader
 
     loader = SampleLoader(args.exp_path)
-    print(f"[replay] episodes={loader.episodes} files={len(loader)}")
+    n_files = len(loader.episode_list)  # len(loader) = dense step count
+    print(f"[replay] episodes={loader.episodes} files={n_files}")
 
     frames = []
     for ep in loader.episodes:
