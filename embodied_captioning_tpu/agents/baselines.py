@@ -77,6 +77,11 @@ class BaseTrainer:
     def actions(self, obs) -> List[int]:
         raise NotImplementedError
 
+    def on_episode_reset(self, i: int) -> None:
+        """Env `i` auto-reset into a NEW episode/scene this step: per-env
+        plan/goal state derived from the old scene must be discarded
+        (stale waypoints can be inside the new scene's walls)."""
+
     def on_step(self, obs, infos) -> None:
         pass
 
@@ -89,16 +94,10 @@ class BaseTrainer:
             return None
         result = self.perceiver.process(np.asarray(obs["rgb"]))
         det = result.detections
-        from ..ops.detections import Detections
-
         for i, env in enumerate(self.envs.envs):
             d_i = jnp.asarray(obs["depth"][i])
             pose = jnp.asarray(env.sim.agent.camera_matrix(), jnp.float32)
-            per_env = Detections(
-                boxes=det.boxes[i], classes=det.classes[i],
-                scores=det.scores[i], logits=det.logits[i],
-                valid=det.valid[i], masks=det.masks[i],
-                embeddings=det.embeddings[i])
+            per_env = det.index(i)
             # masks were produced at detector resolution; resize to sensor
             if per_env.masks.shape[-1] != d_i.shape[-1]:
                 from ..ops.image import resize_bilinear
@@ -132,14 +131,7 @@ class BaseTrainer:
                     Pose(**snap["position"]).to_dict(), dtype=object),
             }
             if result is not None:
-                det = result.detections
-                from ..ops.detections import Detections
-
-                d = Detections(
-                    boxes=det.boxes[i], classes=det.classes[i],
-                    scores=det.scores[i], logits=det.logits[i],
-                    valid=det.valid[i], masks=det.masks[i],
-                    embeddings=det.embeddings[i])
+                d = result.detections.index(i)
                 nd = d.to_numpy_dict()
                 obj_ids, ep_ids = unique_ids(d, self.id_alloc,
                                              snap["episode_id"])
@@ -169,6 +161,8 @@ class BaseTrainer:
             self.envs.step_async(acts)         # sim t+1 in flight
             self.save_step_obs(obs, result)    # host IO overlaps the render
             obs, _, dones, infos = self.envs.step_wait()
+            for i in np.flatnonzero(np.asarray(dones)):
+                self.on_episode_reset(int(i))
             self.on_step(obs, infos)
             self._step += 1
         return sorted(self.saved_paths)
@@ -252,6 +246,9 @@ class _GoalDirectedTrainer(BaseTrainer):
         self._waypoints[i] = [((c + 0.5) * res, (r + 0.5) * res)
                               for r, c in wps][1:]
 
+    def on_episode_reset(self, i: int) -> None:
+        self._waypoints[i] = []
+
     def _follow(self, i: int) -> int:
         env = self.envs.envs[i]
         a = env.sim.agent
@@ -334,7 +331,11 @@ class FrontierBaseline(_GoalDirectedTrainer):
         j = int(np.argmax(gains))
         vox = self.cfg.map.voxel_size
         lower = np.asarray(env.map_state.lower)
-        return (xs[j] * vox + lower[0], ys[j] * vox + lower[2])
+        # +0.5: CELL CENTER, like every other cell->world conversion
+        # (registry.py get_distance, _plan_to) — the bare corner biases
+        # goals half a voxel toward the map origin
+        return ((xs[j] + 0.5) * vox + lower[0],
+                (ys[j] + 0.5) * vox + lower[2])
 
 
 @register_trainer("observeobjectbaseline")
@@ -349,6 +350,10 @@ class ObserveObjectBaseline(_GoalDirectedTrainer):
         super().__init__(cfg, **kw)
         self._orbits: List[List[Tuple[float, float]]] = [
             [] for _ in range(self.envs.num_envs)]
+
+    def on_episode_reset(self, i: int) -> None:
+        super().on_episode_reset(i)
+        self._orbits[i] = []  # old scene's object viewpoints
 
     def new_goal(self, i: int) -> Tuple[float, float]:
         env = self.envs.envs[i]

@@ -88,7 +88,8 @@ class SemanticCuriosityBaseline(_GoalDirectedTrainer):
         j = int(np.argmax(score[ys, xs]))
         vox = self.cfg.map.voxel_size
         lower = np.asarray(env.map_state.lower)
-        return (float(xs[j]) * vox + lower[0], float(ys[j]) * vox + lower[2])
+        return (float(xs[j] + 0.5) * vox + lower[0],
+                float(ys[j] + 0.5) * vox + lower[2])
 
 
 @register_trainer("randomgoalsbaselinecaptioner")
@@ -102,10 +103,12 @@ class RandomGoalsCaptionerBaseline(RandomGoalsBaseline):
         from ..models.sbert import encode_tokens
         from ..ops.detections import expand_boxes
         from ..ops.image import crop_and_resize
+        from ..perception import FrameResult
 
         if self.perceiver is None:
             return None
         cfg = self.cfg
+        dets, tok_rows, lp_rows, len_rows = [], [], [], []
         for i, env in enumerate(self.envs.envs):
             single = {k: v[i] for k, v in obs.items()}
             det = env.sim.gt_detections(single,
@@ -115,8 +118,9 @@ class RandomGoalsCaptionerBaseline(RandomGoalsBaseline):
             crops = crop_and_resize(
                 jnp.asarray(single["rgb"], jnp.float32), boxes,
                 cfg.captioner.vision.image_size).astype(jnp.uint8)
-            toks, _, _ = generate(self.perceiver.params.captioner, crops,
-                                  jax.random.PRNGKey(self._step), cfg.captioner)
+            toks, lps, lens = generate(self.perceiver.params.captioner, crops,
+                                       jax.random.PRNGKey(self._step),
+                                       cfg.captioner)
             se_len = cfg.sentence_encoder.max_len
             pad = jnp.zeros((toks.shape[0], max(0, se_len - toks.shape[1])),
                             toks.dtype)
@@ -124,11 +128,25 @@ class RandomGoalsCaptionerBaseline(RandomGoalsBaseline):
                                 jnp.concatenate([toks, pad], 1)[:, :se_len],
                                 cfg.sentence_encoder)
             det = det.replace(embeddings=emb * det.valid[:, None])
-            env.update_pointcloud(det, depth=jnp.asarray(single["depth"]),
-                                  pose=jnp.asarray(
-                                      env.sim.agent.camera_matrix(),
-                                      jnp.float32))
-        return None
+            pose = jnp.asarray(env.sim.agent.camera_matrix(), jnp.float32)
+            d_i = jnp.asarray(single["depth"])
+            env.update_pointcloud(det, depth=d_i, pose=pose)
+            if hasattr(env, "set_last_frame"):  # KL-reward env variant
+                env.set_last_frame(det, d_i, pose)
+            dets.append(det)
+            tok_rows.append(toks)
+            lp_rows.append(lps)
+            len_rows.append(lens)
+        # a real FrameResult, so save_step_obs records the GT detections +
+        # captions (returning None silently dropped every bbs payload —
+        # the captioned-observation output is this baseline's purpose,
+        # ref: temp_baseline.py:80)
+        batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dets)
+        return FrameResult(
+            detections=batched,
+            caption_tokens=jnp.stack(tok_rows),
+            caption_logprobs=jnp.stack(lp_rows),
+            caption_lengths=jnp.stack(len_rows))
 
 
 @register_trainer("informative-trajectories-v0")
@@ -142,13 +160,17 @@ class InformativeTrajectoriesTrainer(GoalExplorationTrainer):
         out = cfg.runtime.checkpoint_dir or cfg.runtime.obs_dir
         self.logger = MetricsLogger(out, run_name="informative_trajectories")
 
-    def train(self, num_updates: int = 4, decisions_per_update=None):
-        logs = super().train(num_updates, decisions_per_update)
-        for i, row in enumerate(logs):
-            rewards = self.rewards()
-            self.logger.log({**row, "mean_env_reward": float(rewards.mean()),
-                             "max_env_reward": float(rewards.max())}, step=i)
-        return logs
+    def _after_update(self, update: int) -> bool:
+        # log INSIDE the training loop so each row carries that update's
+        # actual env rewards (logging after train() finished would stamp
+        # the terminal reward onto every historical row)
+        stop = super()._after_update(update)
+        rewards = self.rewards()
+        self.logger.log({**self.metrics_log[-1],
+                         "mean_env_reward": float(rewards.mean()),
+                         "max_env_reward": float(rewards.max())},
+                        step=update)
+        return stop
 
 
 @register_trainer("observeobjectdiscreteactionsbaseline")
@@ -163,11 +185,28 @@ class ObserveObjectDiscrete(ObserveObjectBaseline):
         self._dwell = np.zeros(self.envs.num_envs, np.int32)
 
     def actions(self, obs):
-        acts = super().actions(obs)
+        from .baselines import ACTION_LEFT, ACTION_STOP
+
+        # dwell BEFORE letting the base replan: super().actions() consumes
+        # the next orbit viewpoint the moment _waypoints empties, which
+        # capped the dwell at a single scan step per viewpoint
+        acts = []
         for i in range(self.envs.num_envs):
-            if not self._waypoints[i] and self._dwell[i] < self.DWELL_STEPS:
+            if not self._waypoints[i] and 0 < self._dwell[i] < self.DWELL_STEPS:
                 self._dwell[i] += 1
-                acts[i] = 2  # scan left at the viewpoint
-            elif self._waypoints[i]:
+                acts.append(ACTION_LEFT)
+                continue
+            if not self._waypoints[i]:
+                self._plan_to(i, self.new_goal(i))
                 self._dwell[i] = 0
+            a = self._follow(i)
+            if a == ACTION_STOP:  # arrived: start the dwell
+                self._waypoints[i] = []
+                self._dwell[i] = 1
+                a = ACTION_LEFT
+            acts.append(a)
         return acts
+
+    def on_episode_reset(self, i: int) -> None:
+        super().on_episode_reset(i)
+        self._dwell[i] = 0

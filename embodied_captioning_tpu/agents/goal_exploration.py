@@ -163,6 +163,8 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
             self.envs.step_async(acts)         # sim t+1 overlaps obs writes
             self.save_step_obs(obs, result)
             obs, _, dones, infos = self.envs.step_wait()
+            for i in np.flatnonzero(np.asarray(dones)):
+                self.on_episode_reset(int(i))
             self._step += 1
         return sorted(self.saved_paths)
 
@@ -199,6 +201,8 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
                         self.save_step_obs(obs, result)
                         obs, _, dones, infos = self.envs.step_wait()
                         win_done |= np.asarray(dones)
+                        for i in np.flatnonzero(np.asarray(dones)):
+                            self.on_episode_reset(int(i))
                         self._step += 1
                     rewards = self._window_rewards()
                     # episode boundaries: GAE must not bootstrap across a

@@ -34,7 +34,12 @@ def init_policy(key, cfg: PolicyConfig, num_actions: int = 2) -> Params:
     chans = [cfg.input_channels, 32, 64, 128, 64, 32]
     convs = [conv_init(next(ks), 3, chans[i], chans[i + 1])
              for i in range(5)]
-    feat_side = cfg.map_size // 32  # 5 stride-2 convs
+    # 5 stride-2 SAME convs: ceil division per layer (a plain //32 is only
+    # right when map_size is a multiple of 32 and otherwise builds fc1
+    # with the wrong input dim)
+    feat_side = cfg.map_size
+    for _ in range(5):
+        feat_side = -(-feat_side // 2)
     flat = 32 * feat_side * feat_side
     extra = {"gru": init_gru(next(ks), 256)} if cfg.recurrent else {}
     return extra | {

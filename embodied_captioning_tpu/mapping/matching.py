@@ -36,13 +36,20 @@ class IdAllocator:
         return ids
 
 
-def match_ids_iou(pred: Detections, gt: Detections, allocator: IdAllocator,
-                  episode: int, thr: float = 0.3,
+def match_ids_iou(pred: Detections, gt: Detections,
+                  allocator: Optional[IdAllocator] = None,
+                  episode: int = -1, thr: float = 0.3,
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Best-IoU id assignment (ref: matching.py:111-153): each valid
     prediction inherits the object id of its best-overlapping GT instance if
     IoU > thr, else receives a fresh unique id. Returns
-    (object_ids [N] int64, episode_ids [N] int64) as host arrays."""
+    (object_ids [N] int64, episode_ids [N] int64) as host arrays.
+
+    With no allocator, fresh ids come from the matched-path 500-series
+    counter (ref: matching.py:117) so they are distinguishable from the
+    unique-path 5,000,000-series ids callers usually pass in."""
+    if allocator is None:
+        allocator = IdAllocator(FRESH_ID_START_MATCHED)
     n = pred.capacity
     pv = np.asarray(pred.valid)
     gv = np.asarray(gt.valid)

@@ -90,6 +90,15 @@ class Detections:
     def count(self) -> jnp.ndarray:
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
+    def index(self, i: int) -> "Detections":
+        """One batch row: every non-None array field sliced at `i` (None
+        fields pass through — they are empty pytree nodes). Prefer this
+        over hand-copying fields, which silently drops any field the copy
+        site forgot (object_ids/episode_ids already bit two call sites)."""
+        import jax
+
+        return jax.tree_util.tree_map(lambda a: a[i], self)
+
     def replace(self, **kw) -> "Detections":
         return dataclasses.replace(self, **kw)
 
