@@ -235,9 +235,7 @@ class _GoalDirectedTrainer(BaseTrainer):
 
     def _plan_to(self, i: int, goal_xz: Tuple[float, float]) -> None:
         env = self.envs.envs[i]
-        if env._trav is None:
-            env._trav = env.sim.traversability(self.plan_resolution)
-        grid = env._trav
+        grid = env.traversability(self.plan_resolution)
         res = self.plan_resolution
         a = env.sim.agent
         start = (int(a.z / res), int(a.x / res))

@@ -76,11 +76,24 @@ class EmbodiedEnv:
                                   episode=self.episode_id)
         self._trav = None
         self._collision = False
+        # per-episode sensor caches (position_sensor's episode start,
+        # movement_sensor's previous position) belong to the OLD episode
+        for attr in ("_start_position", "_prev_position"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         return self.observe()
 
     def observe(self) -> Dict[str, np.ndarray]:
         obs = self.sim.observe()
         return obs
+
+    def traversability(self, resolution: float = 0.1) -> np.ndarray:
+        """Per-resolution cached free-space grid. The cache keys on the
+        resolution — sharing one unkeyed slot between get_path(res=...) and
+        area_ratio's 0.1 silently mis-scaled whichever came second."""
+        if self._trav is None or self._trav[0] != resolution:
+            self._trav = (resolution, self.sim.traversability(resolution))
+        return self._trav[1]
 
     def step_state(self, action: int) -> Tuple[float, bool, Dict]:
         """Advance agent/sim state WITHOUT rendering — the VectorEnv
@@ -172,9 +185,7 @@ class EmbodiedEnv:
         (x, z) waypoints in meters (empty if unreachable)."""
         from ..agents.planner import astar
 
-        if self._trav is None:
-            self._trav = self.sim.traversability(resolution)
-        grid = self._trav
+        grid = self.traversability(resolution)
 
         def to_cell(p):
             return (int(np.clip(p[1] / resolution, 0, grid.shape[0] - 1)),

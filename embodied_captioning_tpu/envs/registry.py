@@ -98,10 +98,9 @@ class SemanticDisagreementEnv(EmbodiedEnv):
         maps = self.get_and_update_disagreement_map()
         explored = float((maps[..., 1] > 0.5).sum())
         # free-space denominator from the traversability grid
-        if self._trav is None:
-            self._trav = self.sim.traversability(0.1)
+        trav = self.traversability(0.1)
         vox = self.cfg.map.voxel_size
-        total_free = float(self._trav.sum()) * (0.1 / vox) ** 2
+        total_free = float(trav.sum()) * (0.1 / vox) ** 2
         return explored / max(total_free, 1.0)
 
     def step(self, action):
@@ -145,22 +144,31 @@ class VizEnv(EmbodiedEnv):
         self.loader = SampleLoader(cfg.sim.replay_dir)
         eps = self.loader.episodes
         self._replay_episode = eps[env_id % len(eps)]
-        self._steps = self.loader.steps(self._replay_episode, 0, "rgb")
+        # the store schema assigns one camera id PER MODALITY (save_obs
+        # enumeration order), so rgb is not necessarily camera 0
+        self._rgb_cam = self.loader.camera_of(self._replay_episode, "rgb")
+        if self._rgb_cam is None:
+            raise ValueError(
+                f"replay dir {cfg.sim.replay_dir} episode "
+                f"{self._replay_episode} has no rgb modality")
+        self._steps = self.loader.steps(self._replay_episode, self._rgb_cam,
+                                        "rgb")
         self._cursor = 0
         super().__init__(cfg, env_id=env_id, **kw)
 
     def reset(self):
-        # build the map fresh; the sim exists only for bounds/motion stubs
-        out = super().reset()
+        # rewind FIRST: the base reset ends with observe(), which routes
+        # through our replay observe — resetting after it would load the
+        # stale pre-reset frame just to throw it away
         self._cursor = 0
-        return self.observe()
+        return super().reset()
 
     def observe(self):
         if not hasattr(self, "loader"):
             return super().observe()
         step = self._steps[min(self._cursor, len(self._steps) - 1)]
         ep = self._replay_episode
-        rgb = self.loader.get_sample(ep, 0, "rgb", step).data
+        rgb = self.loader.get_sample(ep, self._rgb_cam, "rgb", step).data
         out = {"rgb": jnp.asarray(rgb)}
         for cam in self.loader.cameras(ep):
             mods = self.loader.modalities(ep, cam)

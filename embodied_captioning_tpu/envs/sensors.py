@@ -132,9 +132,12 @@ def noisy_position_sensor(env, obs, sigma_pos: float = 0.05,
     pos[2] += rng.normal(0, sigma_pos)
     lower, upper = env.sim.bounds()
     pos = np.clip(pos, lower, upper)
-    q = np.asarray(p["orientation"], np.float64).copy()
-    q[0] += rng.normal(0, sigma_rot)
-    q /= np.linalg.norm(q)
+    # rotation noise as a YAW-ANGLE perturbation: perturbing only the
+    # quaternion w component and renormalizing yields exactly zero noise at
+    # identity orientation and a yaw-dependent magnitude elsewhere
+    q = np.asarray(p["orientation"], np.float64)
+    yaw = 2.0 * np.arctan2(q[2], q[0]) + rng.normal(0, sigma_rot)
+    q = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])
     return {"position": pos, "orientation": q}
 
 
@@ -149,9 +152,10 @@ def noisy_position_sensor2(env, obs):
 
 
 @register_sensor("agent_collision_sensor")
-def agent_collision_sensor(env, obs, threshold: float = 0.15):
-    """Collision = forward commanded but moved < threshold
-    (ref: sensors.py:866-906)."""
+def agent_collision_sensor(env, obs):
+    """Collision flag from the sim's blocked-move check (the reference's
+    moved-less-than-0.15 m criterion is what sim.step implements,
+    ref: sensors.py:866-906; there is no separate tunable threshold here)."""
     return bool(env.collided())
 
 

@@ -46,16 +46,29 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                with_metadata: bool = False) -> Any:
+        """Restore the state pytree; `with_metadata=True` returns
+        (state, metadata-dict-or-None) so whatever `save(metadata=...)`
+        recorded (counters, python config) survives the round trip."""
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self.latest_step()
         if step is None:
-            return None
+            return (None, None) if with_metadata else None
         restored = self._mgr.restore(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(state_template)))
-        return restored["state"]
+        if not with_metadata:
+            return restored["state"]
+        meta = None
+        try:
+            meta = self._mgr.restore(
+                step, args=ocp.args.Composite(
+                    metadata=ocp.args.JsonRestore()))["metadata"]
+        except Exception:
+            pass  # checkpoint saved without metadata
+        return restored["state"], meta
 
     def close(self) -> None:
         self._mgr.close()

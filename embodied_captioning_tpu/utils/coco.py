@@ -64,6 +64,11 @@ def coco_to_samples(coco_json: str, images_root: Optional[str] = None,
         x, y, w, h = ann["bbox"]
         rec["boxes"].append([x, y, x + w, y + h])
         rec["classes"].append(cls)
+    # annotation-free images MUST appear (empty GT): dropping them would
+    # let evaluate_coco ignore every prediction on them, so hallucinated
+    # false positives would go uncounted and inflate AP
+    for img_id in images:
+        per_image.setdefault(img_id, {"boxes": [], "classes": []})
     out = []
     for img_id, rec in sorted(per_image.items()):
         im = images.get(img_id, {})
@@ -95,11 +100,20 @@ def evaluate_coco(results: List[Dict], gt_samples: List[Dict],
         rows = by_img.get(g["image_id"], [])
         boxes, scores, classes = [], [], []
         for r in rows:
+            cat = r["category_id"]
+            # accept COCO target ids (57-62) or already-local ids (0-5);
+            # anything else is an out-of-target detection and is filtered
+            # (passing a raw COCO id through would collide with local ids)
+            if cat in COCO_TO_LOCAL:
+                cls = COCO_TO_LOCAL[cat]
+            elif 0 <= cat < NUM_CLASSES:
+                cls = cat
+            else:
+                continue
             x, y, w, h = r["bbox"]
             boxes.append([x, y, x + w, y + h])
             scores.append(r["score"])
-            cat = r["category_id"]
-            classes.append(COCO_TO_LOCAL.get(cat, cat))
+            classes.append(cls)
         pb.append(np.asarray(boxes, np.float32).reshape(-1, 4))
         ps.append(np.asarray(scores, np.float32))
         pc.append(np.asarray(classes, np.int64))

@@ -85,7 +85,32 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = mgr.restore(template)
     np.testing.assert_allclose(np.asarray(restored["w"]),
                                np.asarray(state["w"]))
+    # saved metadata must survive the round trip
+    restored2, meta = mgr.restore(template, with_metadata=True)
+    assert meta == {"note": "hi"}
+    np.testing.assert_allclose(np.asarray(restored2["w"]),
+                               np.asarray(state["w"]))
     mgr.close()
+
+
+def test_sensor_caches_reset_per_episode():
+    """position_sensor's episode-start anchor and movement_sensor's
+    previous position must not leak across env.reset() (new episode = new
+    random spawn; a stale anchor mis-references every later reading)."""
+    from embodied_captioning_tpu.envs import sensors as S
+    from embodied_captioning_tpu.envs.env import EmbodiedEnv
+
+    env = EmbodiedEnv(CFG, env_id=3)
+    obs = env.observe()
+    rel1 = S.get_sensor("position_sensor")(env, obs)
+    np.testing.assert_allclose(rel1["position"], 0.0, atol=1e-9)
+    S.get_sensor("movement_sensor")(env, obs)
+    env.step(1)
+    obs = env.reset()
+    rel2 = S.get_sensor("position_sensor")(env, obs)
+    np.testing.assert_allclose(rel2["position"], 0.0, atol=1e-9)
+    mv = S.get_sensor("movement_sensor")(env, obs)
+    np.testing.assert_allclose(mv, 0.0, atol=1e-9)
 
 
 def test_preemption_guard():
