@@ -310,6 +310,33 @@ render_batch = jax.jit(
     static_argnums=(2, 3, 4, 5))
 
 
+def render_batch_chunked(scenes, poses, height: int, width: int,
+                         hfov_deg: float, max_depth: float = 15.0,
+                         budget_bytes: int = 6 << 30):
+    """`render_batch` split into fixed-shape chunks that bound HBM.
+
+    The slab test materializes ~[chunk, H, W, n_boxes] f32 intermediates
+    (~20 bytes/ray/box across the fused buffers, measured from the XLA HBM
+    report: 16 envs x 1280^2 x 64 boxes = 34.4 GB — an OOM on a 16 GB
+    chip). The chunk is the largest divisor of the batch whose estimate
+    fits `budget_bytes`, so every chunk launch reuses one compiled shape.
+    """
+    n = poses.shape[0]
+    n_boxes = scenes.box_min.shape[-2]
+    per_env = height * width * n_boxes * 20
+    cap = max(1, int(budget_bytes // max(per_env, 1)))
+    if cap >= n:
+        return render_batch(scenes, poses, height, width, hfov_deg,
+                            max_depth)
+    chunk = max(d for d in range(1, cap + 1) if n % d == 0)
+    outs = []
+    for i in range(0, n, chunk):
+        part = jax.tree_util.tree_map(lambda x: x[i:i + chunk], scenes)
+        outs.append(render_batch(part, poses[i:i + chunk], height, width,
+                                 hfov_deg, max_depth))
+    return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
 @functools.partial(jax.jit, static_argnames=("max_instances", "min_pixels"))
 def gt_detections(instances: jnp.ndarray, classes: jnp.ndarray,
                   max_instances: int = 16, min_pixels: int = 300

@@ -5,8 +5,9 @@ habitat_utils.py:54-150 construct_envs; agents/baselines.py:74-91 async
 step fan-out). The reference needs 20 worker processes because habitat-sim
 renders on CPU/GPU per process; here rendering runs on the accelerator and
 — when every env uses the stock EmbodiedEnv step/observe over a RaycastSim
-— the whole batch renders in ONE device launch (`sim.render_batch`),
-instead of paying per-env dispatch through the tunnel. Envs that override
+— the whole batch renders in HBM-bounded chunked device launches
+(`sim.render_batch_chunked`; one launch when the batch fits), instead of
+paying per-env dispatch through the tunnel. Envs that override
 step/observe (disagreement metrics, replay/viz) fall back to per-env calls.
 
 Episodes auto-reset on done (habitat `auto_reset_done` contract): the obs
@@ -37,7 +38,7 @@ import numpy as np
 
 from ..config import ExperimentConfig
 from .env import EmbodiedEnv
-from .sim import RaycastSim, render_batch
+from .sim import RaycastSim, render_batch_chunked
 
 
 class VectorEnv:
@@ -134,7 +135,7 @@ class VectorEnv:
                 [jnp.asarray(e.sim.agent.camera_matrix(), jnp.float32)
                  for e in self.envs])
             s = self.envs[0].cfg.sensors
-            out = render_batch(scenes, poses, s.height, s.width,
+            out = render_batch_chunked(scenes, poses, s.height, s.width,
                                s.hfov_deg, s.max_depth)
             rewards = np.asarray([r for r, _, _ in rdi], np.float32)
             dones = np.asarray([d for _, d, _ in rdi], bool)

@@ -286,8 +286,11 @@ def cross_v_headmajor() -> bool:
     instead of [B, K, H, Dh] (lazy env knob, consumed consistently by
     precompute_kv and mha). The round-3 device trace shows the decode PV
     reading the [B, K, H, Dh] int8 V at 275 GB/s — strided per-head — vs
-    620 GB/s for the pre-transposed K score op (scripts/probe_crossv.py)."""
-    return _os.environ.get("ECAP_CROSS_V_HEADMAJOR", "0") == "1"
+    620 GB/s for the pre-transposed K score op (scripts/probe_crossv.py).
+    Default ON: the isolated layout probe measured parity, but the FULL
+    headline program on v5e measured 74.15 -> 77.35 fps with head-major V
+    (better fusion in context; docs/BENCH.md round-3 ladder). =0 reverts."""
+    return _os.environ.get("ECAP_CROSS_V_HEADMAJOR", "1") == "1"
 
 
 def _proj_headmajor(p_one: Params, x: jnp.ndarray, heads: int,

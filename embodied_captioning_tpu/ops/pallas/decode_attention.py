@@ -196,9 +196,14 @@ def _self_block_kernel(x_ref, g_ref, b_ref,
                        kc_ref, vc_ref, pos_ref,
                        xo_ref, ko_ref, vo_ref, *, heads: int, eps: float):
     """Entire single-token cached self-attention block in one kernel:
-    LN1 -> q/k/v projections -> cache write at pos -> masked attention ->
-    out projection -> residual. Caches alias in place (input_output_aliases).
-    x [B, D]; weights [D, D] int8-or-float with per-channel scales."""
+    LN1 -> q/k/v projections -> masked attention over (cache < pos) plus
+    the CURRENT token's k/v held in registers -> out projection ->
+    residual. The kernel performs NO cache stores — Mosaic rejects the
+    [B,H,Dh,1] strided store ("unsupported shape cast") — it instead
+    emits k/v for the current position as [B, D] outputs and the caller
+    (dispatch.maybe_decode_self_block) writes them into the caches with a
+    plain XLA dynamic_update_slice. x [B, D]; weights [D, D]
+    int8-or-float with per-channel scales."""
     bsz, d = x_ref.shape
     dh = d // heads
     pos = pos_ref[0]
@@ -218,22 +223,29 @@ def _self_block_kernel(x_ref, g_ref, b_ref,
             jnp.float32)
 
     q = proj(wq_ref, sq_ref, bq_ref).reshape(bsz, heads, dh)
-    k = proj(wk_ref, sk_ref, bk_ref).astype(ko_ref.dtype)
-    v = proj(wv_ref, sv_ref, bv_ref).astype(vo_ref.dtype)
-    # cache write at position pos (the output refs alias the input caches)
-    t = ko_ref.shape[-1]
-    ko_ref[:, :, :, pl.ds(pos, 1)] = k.reshape(bsz, heads, dh)[..., None]
-    vo_ref[:, pl.ds(pos, 1)] = v.reshape(bsz, 1, heads, dh)
-    kt = ko_ref[:].astype(jnp.float32)          # [B, H, Dh, T]
+    k2 = proj(wk_ref, sk_ref, bk_ref)           # [B, D] f32
+    v2 = proj(wv_ref, sv_ref, bv_ref)           # [B, D] f32
+    ko_ref[:] = k2.astype(ko_ref.dtype)
+    vo_ref[:] = v2.astype(vo_ref.dtype)
+    # attention reads the caches at their STORED precision (bf16), exactly
+    # like the XLA path, so the current token's k/v round-trip through the
+    # cache dtype before use
+    k3 = k2.astype(ko_ref.dtype).astype(jnp.float32).reshape(bsz, heads, dh)
+    v3 = v2.astype(vo_ref.dtype).astype(jnp.float32).reshape(bsz, heads, dh)
+    t = kc_ref.shape[-1]
+    kt = kc_ref[:].astype(jnp.float32)          # [B, H, Dh, T]
     s = jnp.sum(q[..., None] * kt, axis=2) / (dh ** 0.5)
-    live = jax.lax.broadcasted_iota(jnp.int32, (bsz, heads, t), 2) <= pos
+    live = jax.lax.broadcasted_iota(jnp.int32, (bsz, heads, t), 2) < pos
     s = jnp.where(live, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1)                 # [B, H]
-    vall = vo_ref[:].astype(jnp.float32)        # [B, T, H, Dh]
+    s_cur = jnp.sum(q * k3, axis=-1) / (dh ** 0.5)   # [B, H]
+    m = jnp.maximum(jnp.max(s, axis=-1), s_cur)      # [B, H]
+    p = jnp.exp(s - m[..., None])
+    p_cur = jnp.exp(s_cur - m)
+    denom = jnp.sum(p, axis=-1) + p_cur              # [B, H]
+    vall = vc_ref[:].astype(jnp.float32)        # [B, T, H, Dh]
     pt = jnp.transpose(p, (0, 2, 1))            # [B, T, H]
-    out = jnp.sum(pt[..., None] * vall, axis=1) / denom[..., None]
+    out = (jnp.sum(pt[..., None] * vall, axis=1)
+           + p_cur[..., None] * v3) / denom[..., None]
     out2 = out.reshape(bsz, d).astype(jnp.bfloat16)
     y = jax.lax.dot(out2, wo_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
@@ -241,27 +253,27 @@ def _self_block_kernel(x_ref, g_ref, b_ref,
     xo_ref[:] = (xf + y).astype(x_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"),
-                   donate_argnums=(15, 16))
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
 def decode_self_block(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv,
                       wo, so, bo, kc, vc, pos, heads: int,
                       eps: float = 1e-5, interpret: bool = False):
-    """x [B, D] -> (x + selfattn(ln(x)) [B, D], new k cache, new v cache).
-    kc [B, H, Dh, T] / vc [B, T, H, Dh] are DONATED and updated in place
-    at position pos."""
+    """x [B, D] -> (x + selfattn(ln(x)) [B, D], k_cur [B, D], v_cur
+    [B, D]). kc [B, H, Dh, T] / vc [B, T, H, Dh] are read-only; only
+    positions < pos are attended, with the current token's k/v computed
+    in-kernel. The caller writes k_cur/v_cur into the caches at `pos`
+    (XLA dynamic_update_slice — see dispatch.maybe_decode_self_block)."""
     bsz, d = x.shape
     pos_arr = jnp.full((1,), pos, jnp.int32)
     return pl.pallas_call(
         functools.partial(_self_block_kernel, heads=heads, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((bsz, d), x.dtype),
-                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)),
+                   jax.ShapeDtypeStruct((bsz, d), kc.dtype),
+                   jax.ShapeDtypeStruct((bsz, d), vc.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-        input_output_aliases={15: 1, 16: 2},
         interpret=interpret,
     )(x, g, b, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, kc, vc,
       pos_arr)

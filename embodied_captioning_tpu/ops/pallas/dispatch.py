@@ -18,6 +18,19 @@ def pallas_enabled() -> bool:
     return os.environ.get("ECAP_USE_PALLAS", "0") == "1"
 
 
+def block_kernels_enabled() -> bool:
+    """The whole-block decode kernels (decode_self_block /
+    decode_cross_block) need in-kernel lane-splitting reshapes
+    ([B, D] -> [B, H, Dh]) that Mosaic rejects at serving dims
+    ("infer-vector-layout: unsupported shape cast", measured on v5e —
+    scripts/probe_kernelcompile.py). They stay separately gated until
+    they are restructured grid-over-heads; the standalone attention/MLP
+    kernels (pre-split inputs, no in-kernel reshape) compile and are what
+    ECAP_USE_PALLAS=1 enables."""
+    return (pallas_enabled()
+            and os.environ.get("ECAP_PALLAS_BLOCKS", "0") == "1")
+
+
 def _interpret() -> bool:
     """Kernels lower for TPU only; on CPU (tests, ECAP_PLATFORM=cpu) run
     the interpreter so the opt-in paths stay correct everywhere."""
@@ -153,7 +166,7 @@ def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
     """Entire single-token cached self-attention block fused (LN1 + QKV +
     cache write + attention + out-proj + residual). Returns
     (x_out [B,1,D], updated KVCache) or None for the XLA path."""
-    if not pallas_enabled():
+    if not block_kernels_enabled():
         return None
     b, t, d = x.shape
     if t != 1 or d % heads != 0 or (d // heads) % 8 != 0:
@@ -182,7 +195,7 @@ def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
         return None
     from .decode_attention import decode_self_block
 
-    out, k_new, v_new = decode_self_block(
+    out, k_cur, v_cur = decode_self_block(
         x[:, 0], p_ln["g"], p_ln["b"],
         ws["q"][0], ws["q"][1], p_attn["q"]["b"],
         ws["k"][0], ws["k"][1], p_attn["k"]["b"],
@@ -190,6 +203,17 @@ def maybe_decode_self_block(p_attn, p_ln, x: jnp.ndarray, cache, heads: int):
         ws["o"][0], ws["o"][1], p_attn["o"]["b"],
         cache.k, cache.v, cache.index, heads=heads,
         interpret=_interpret())
+    # the kernel does NO cache stores (Mosaic rejects the strided
+    # [B,H,Dh,1] write); the caches are updated here with plain XLA
+    # dynamic_update_slices, which alias in place inside the decode loop
+    import jax as _jax
+
+    dh = d // heads
+    k_new = _jax.lax.dynamic_update_slice(
+        cache.k, k_cur.reshape(b, heads, dh)[..., None],
+        (0, 0, 0, cache.index))
+    v_new = _jax.lax.dynamic_update_slice(
+        cache.v, v_cur.reshape(b, 1, heads, dh), (0, cache.index, 0, 0))
     return out[:, None], KVCache(k_new, v_new, cache.index + 1)
 
 
@@ -198,7 +222,7 @@ def maybe_decode_cross_block(p_xattn, p_ln, x: jnp.ndarray, cross_kv,
     """Entire single-token cross-attention block fused (LN_x + q proj +
     attention over precomputed head-major K/V + out proj + residual).
     Returns x_out [B,1,D] or None for the XLA path."""
-    if not pallas_enabled():
+    if not block_kernels_enabled():
         return None
     b, t, d = x.shape
     if t != 1 or d % heads != 0 or (d // heads) % 8 != 0:

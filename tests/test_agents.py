@@ -164,3 +164,29 @@ def test_env_rpc_surface():
     assert isinstance(anns, list)
     path = env.get_path((1.0, 1.0), (5.0, 5.0))
     assert path.ndim == 2
+
+
+def test_render_batch_chunked_matches_unchunked():
+    """A budget that forces chunking must produce identical frames to the
+    single-launch render_batch (the chunked path exists because 16 envs x
+    1280^2 x n_boxes slab intermediates OOM a 16 GB chip)."""
+    from embodied_captioning_tpu.config import SensorConfig, SimConfig
+    from embodied_captioning_tpu.envs.sim import (
+        RaycastSim, render_batch, render_batch_chunked,
+    )
+
+    sims = [RaycastSim(SimConfig(scene_size=8.0, num_objects=5,
+                                 episode_steps=10),
+                       SensorConfig(height=32, width=32), seed=s)
+            for s in range(4)]
+    scenes = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[s.scene for s in sims])
+    poses = jnp.stack([jnp.asarray(s.agent.camera_matrix(), jnp.float32)
+                       for s in sims])
+    full = render_batch(scenes, poses, 32, 32, 90.0, 15.0)
+    per_env = 32 * 32 * scenes.box_min.shape[-2] * 20
+    chunked = render_batch_chunked(scenes, poses, 32, 32, 90.0, 15.0,
+                                   budget_bytes=per_env * 2)  # -> chunk 2
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(chunked[k]))

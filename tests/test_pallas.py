@@ -227,6 +227,15 @@ def test_generate_with_decode_kernels_matches_xla(monkeypatch):
         np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_k))
         np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_k),
                                    rtol=5e-2, atol=5e-2)
+        # whole-block kernels (separately gated: Mosaic rejects them at
+        # serving dims, but the interpret path must stay correct)
+        monkeypatch.setenv("ECAP_PALLAS_BLOCKS", "1")
+        jax.clear_caches()
+        t_b, lp_b, _ = generate(p, imgs, jax.random.PRNGKey(0), cfg)
+        monkeypatch.delenv("ECAP_PALLAS_BLOCKS", raising=False)
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_b))
+        np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_b),
+                                   rtol=5e-2, atol=5e-2)
     jax.clear_caches()  # don't leak kernel-path traces to other tests
 
 
@@ -287,7 +296,7 @@ def test_decode_self_block_kernel_parity():
     ref = np.asarray((x + h_ref).astype(jnp.float32))
 
     ones = jnp.ones((d,), jnp.float32)
-    out, k_new, v_new = decode_self_block(
+    out, k_cur, v_cur = decode_self_block(
         x[:, 0], p_ln["g"], p_ln["b"],
         p["q"]["w"], ones, p["q"]["b"], p["k"]["w"], ones, p["k"]["b"],
         p["v"]["w"], ones, p["v"]["b"], p["o"]["w"], ones, p["o"]["b"],
@@ -295,7 +304,12 @@ def test_decode_self_block_kernel_parity():
     a = np.asarray(out, np.float32)[:, None]
     np.testing.assert_allclose(a, ref, rtol=0.06, atol=0.06)
     assert np.corrcoef(a.ravel(), ref.ravel())[0, 1] > 0.999
-    # cache update parity
+    # cache update parity: the kernel emits the current token's k/v and the
+    # dispatcher writes them at `pos` (same dynamic_update_slice as mha)
+    k_new = jax.lax.dynamic_update_slice(
+        kc, k_cur.reshape(bsz, heads, dh)[..., None], (0, 0, 0, pos))
+    v_new = jax.lax.dynamic_update_slice(
+        vc, v_cur.reshape(bsz, 1, heads, dh), (0, pos, 0, 0))
     np.testing.assert_allclose(
         np.asarray(k_new, np.float32), np.asarray(cache_ref.k, np.float32),
         rtol=0.05, atol=0.05)
