@@ -79,7 +79,7 @@ def maybe_fused_preprocess(img_u8: jnp.ndarray, out_size: int, patch: int
     return fused_preprocess(img_u8, out_size, patch)
 
 
-def _block_rows(b: int, per_row_bytes: int, budget: int = 8 << 20) -> int:
+def _block_rows(b: int, per_row_bytes: int, budget: int = 12 << 20) -> int:
     """Largest divisor of b whose K/V footprint fits the VMEM budget."""
     bb = b
     while bb > 1 and bb * per_row_bytes > budget:
@@ -89,6 +89,24 @@ def _block_rows(b: int, per_row_bytes: int, budget: int = 8 << 20) -> int:
                 bb = cand
                 break
     return max(bb, 1)
+
+
+def _f32_tile_bytes(*dims: int) -> int:
+    """Scoped-VMEM bytes for one materialized f32 tile of `dims`: Mosaic
+    pads the minor dim to 128 lanes and the second-minor to 8 sublanes.
+    The first on-chip run of the decode kernels OOM'd scoped VMEM
+    (27.3 MB vs 16 MB) because the old estimate used the STORED dtype and
+    UNPADDED minor dim, while Mosaic materializes the kernel's
+    .astype(f32) copy at padded tile shape — for the self-attention cache
+    [H, Dh, T=30] that is 128/30 * 2x larger than estimated."""
+    pad = list(dims)
+    pad[-1] = -(-pad[-1] // 128) * 128
+    if len(pad) > 1:
+        pad[-2] = -(-pad[-2] // 8) * 8
+    n = 4
+    for d in pad:
+        n *= d
+    return n
 
 
 def maybe_decode_self_attention(q: jnp.ndarray, kt: jnp.ndarray,
@@ -104,7 +122,9 @@ def maybe_decode_self_attention(q: jnp.ndarray, kt: jnp.ndarray,
         return None
     from .decode_attention import decode_self_attention
 
-    per_row = h * dh * t * kt.dtype.itemsize * 2
+    # f32 in-kernel materializations of the two cache layouts, at Mosaic
+    # tile padding (the bf16 refs themselves are ~1/3 of this on top)
+    per_row = _f32_tile_bytes(h, dh, t) + _f32_tile_bytes(t, h, dh)
     return decode_self_attention(q, kt, v, pos,
                                  block_b=_block_rows(b, per_row),
                                  interpret=_interpret())
@@ -123,7 +143,7 @@ def maybe_decode_cross_attention(q: jnp.ndarray, kt: jnp.ndarray,
         return None
     from .decode_attention import decode_cross_attention
 
-    per_row = h * dh * k * kt.dtype.itemsize * 2
+    per_row = _f32_tile_bytes(h, dh, k) + _f32_tile_bytes(h, k, dh)
     return decode_cross_attention(q, kt, v, kt_scale, v_scale,
                                   block_b=_block_rows(b, per_row),
                                   interpret=_interpret())

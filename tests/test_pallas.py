@@ -318,9 +318,12 @@ def test_decode_self_block_kernel_parity():
         rtol=0.05, atol=0.05)
 
 
-def test_decode_cross_block_kernel_parity():
+def test_decode_cross_block_kernel_parity(monkeypatch):
     """Fused LN_x + q-proj + cross-attention + out-proj + residual == the
-    mha composition (interpret mode), float and int8-scaled K/V."""
+    mha composition (interpret mode), float and int8-scaled K/V. The mha
+    reference is pinned to the legacy [B,K,H,Dh] V layout (flag off) to
+    match the v_km fixture regardless of the session default."""
+    monkeypatch.setenv("ECAP_CROSS_V_HEADMAJOR", "0")
     from embodied_captioning_tpu.models.common import (
         layernorm, layernorm_init, mha, mha_init,
     )
