@@ -230,13 +230,21 @@ def _hash_noise(p: jnp.ndarray) -> jnp.ndarray:
     return (q * 43758.5453) % 1.0
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "hfov_deg"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "hfov_deg",
+                                             "attr_mode"))
 def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
-           hfov_deg: float, max_depth: float = 15.0):
+           hfov_deg: float, max_depth: float = 15.0,
+           attr_mode: str = "onehot"):
     """Render one camera.
 
     Args:
       pose: [4, 4] T_world_cam (camera looks down -Z).
+      attr_mode: how the winning box's attributes reach each pixel.
+        "onehot" (default) contracts a {0,1} [H,W,Bx] matrix with the
+        [Bx,11] attribute table on the MXU — bit-exact with "gather"
+        (exactly one nonzero f32 term per pixel) but avoids five
+        per-pixel elementwise gathers, the measured-slow path on TPU
+        (see ops/image.py). "gather" keeps the indexed form.
 
     Returns dict: rgb [H, W, 3] uint8, depth [H, W] f32 meters (euclidean-z,
     habitat-style planar depth), instances [H, W] i32 per-pixel instance id
@@ -265,7 +273,7 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
     hit = (t_near <= t_far) & (t_far > 1e-4) & scene.valid[None, None]
     t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
     best = jnp.argmin(t_hit, axis=-1)               # [H, W]
-    t_best = jnp.take_along_axis(t_hit, best[..., None], axis=-1)[..., 0]
+    t_best = jnp.min(t_hit, axis=-1)
     valid = jnp.isfinite(t_best)
 
     # planar depth (distance along camera -Z), habitat depth convention
@@ -274,8 +282,30 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
 
     # shading
     p_hit = origin + dirs * t_best[..., None]
-    bmin = scene.box_min[best]
-    bmax = scene.box_max[best]
+    if attr_mode == "onehot":
+        nb = scene.box_min.shape[0]
+        table = jnp.concatenate(
+            [scene.box_min, scene.box_max, scene.albedo,
+             scene.class_id[:, None].astype(jnp.float32),
+             scene.instance_id[:, None].astype(jnp.float32)],
+            axis=-1)                                   # [Bx, 11]
+        oh = (best[..., None] == jnp.arange(nb)).astype(jnp.float32)
+        # HIGHEST: TPU f32 matmuls otherwise run as bf16-split passes,
+        # which breaks the exactly-one-nonzero-term exactness (ids must
+        # round-trip bit-exact); rounding guards the int decode besides
+        attrs = jnp.einsum("hwb,bc->hwc", oh, table,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        bmin, bmax = attrs[..., 0:3], attrs[..., 3:6]
+        albedo_px = attrs[..., 6:9]
+        class_px = jnp.round(attrs[..., 9]).astype(jnp.int32)
+        inst_px = jnp.round(attrs[..., 10]).astype(jnp.int32)
+    else:
+        bmin = scene.box_min[best]
+        bmax = scene.box_max[best]
+        albedo_px = scene.albedo[best]
+        class_px = scene.class_id[best]
+        inst_px = scene.instance_id[best]
     # face normal: axis where the hit point touches a slab
     eps = 1e-3
     nx = jnp.where(jnp.abs(p_hit[..., 0] - bmin[..., 0]) < eps, -1.0,
@@ -295,24 +325,28 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
     tex = 1.0 - scene.tex_amp + scene.tex_amp * _hash_noise(
         jnp.floor(p_hit * 7.0))
     shade = (scene.ambient + (1.0 - scene.ambient) * lambert) * tex
-    rgb = scene.albedo[best] * shade[..., None]
+    rgb = albedo_px * shade[..., None]
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
 
-    instances = jnp.where(valid, scene.instance_id[best], -1)
-    classes = jnp.where(valid, scene.class_id[best], -1)
+    instances = jnp.where(valid, inst_px, -1)
+    classes = jnp.where(valid, class_px, -1)
     return {"rgb": rgb_u8, "depth": depth, "instances": instances,
             "classes": classes}
 
 
-render_batch = jax.jit(
-    jax.vmap(render, in_axes=(0, 0, None, None, None, None)),
-    static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def render_batch(scenes, poses, height: int, width: int, hfov_deg: float,
+                 max_depth: float = 15.0, attr_mode: str = "onehot"):
+    return jax.vmap(
+        lambda s, p: render(s, p, height, width, hfov_deg, max_depth,
+                            attr_mode))(scenes, poses)
 
 
 def render_batch_chunked(scenes, poses, height: int, width: int,
                          hfov_deg: float, max_depth: float = 15.0,
-                         budget_bytes: int = 6 << 30):
+                         budget_bytes: int = 6 << 30,
+                         attr_mode: str = "onehot"):
     """`render_batch` split into fixed-shape chunks that bound HBM.
 
     The slab test materializes ~[chunk, H, W, n_boxes] f32 intermediates
@@ -327,13 +361,13 @@ def render_batch_chunked(scenes, poses, height: int, width: int,
     cap = max(1, int(budget_bytes // max(per_env, 1)))
     if cap >= n:
         return render_batch(scenes, poses, height, width, hfov_deg,
-                            max_depth)
+                            max_depth, attr_mode)
     chunk = max(d for d in range(1, cap + 1) if n % d == 0)
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree_util.tree_map(lambda x: x[i:i + chunk], scenes)
         outs.append(render_batch(part, poses[i:i + chunk], height, width,
-                                 hfov_deg, max_depth))
+                                 hfov_deg, max_depth, attr_mode))
     return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Probe: RaycastSim render cost at the loop workload (1280^2, 16 envs).
+
+The round-3 loop bench measured 9.52 fps with the sim in the loop vs
+77.17 pure perception — the 1280^2 render costs ~7x a perception step on
+the shared chip. Hypothesis: the five per-pixel attribute gathers
+(albedo[best], box_min[best], ...) hit the elementwise-gather slow path
+(ops/image.py measured 17x there). Arms:
+
+  gather   the indexed form (round<=2 default)
+  onehot   {0,1}[H,W,Bx] @ [Bx,11] attribute table on the MXU (exact)
+
+Both run through render_batch_chunked at the exact loop shapes, fenced by
+scalar-checksum readback (tunnel: block_until_ready does not fence).
+
+Usage: python scripts/probe_render.py [--envs 16 --size 1280 --iters 6]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=16)
+    ap.add_argument("--size", type=int, default=1280)
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from embodied_captioning_tpu.config import SimConfig
+    from embodied_captioning_tpu.envs.sim import (
+        generate_scene, render_batch_chunked,
+    )
+
+    n, hw = args.envs, args.size
+    scenes = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[generate_scene(SimConfig(), seed=i) for i in range(n)])
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = rng.uniform(-3, 3, n)
+    poses[:, 2, 3] = rng.uniform(-3, 3, n)
+    poses[:, 1, 3] = 0.88
+    poses = jnp.asarray(poses)
+
+    def fenced(mode):
+        def run():
+            out = render_batch_chunked(scenes, poses, hw, hw, 79.0, 15.0,
+                                       attr_mode=mode)
+            cs = (jnp.sum(out["depth"]) + jnp.sum(out["rgb"].astype(
+                jnp.float32)) + jnp.sum(out["instances"]))
+            return float(cs)   # host readback fences
+
+        return run
+
+    # parity at small size first (cheap compile)
+    small = {}
+    for mode in ("gather", "onehot"):
+        small[mode] = render_batch_chunked(scenes, poses, 128, 128, 79.0,
+                                           15.0, attr_mode=mode)
+    for k in ("rgb", "depth", "instances", "classes"):
+        a = np.asarray(small["gather"][k]).astype(np.float32)
+        b = np.asarray(small["onehot"][k]).astype(np.float32)
+        assert np.abs(a - b).max() == 0.0, f"parity break on {k}"
+    print(f"  parity at 128^2: exact on rgb/depth/instances/classes",
+          flush=True)
+
+    for mode in ("gather", "onehot"):
+        run = fenced(mode)
+        _ = run()   # compile + warm
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            _ = run()
+            ts.append(time.perf_counter() - t0)
+        ms = 1000.0 * sorted(ts)[len(ts) // 2]
+        print(f"  {mode:<8s} {ms:8.1f} ms/batch  "
+              f"({1000.0 * n / ms:6.1f} frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,23 @@ def test_fifo_memory():
     assert len(got) == 2
 
 
+def test_render_attr_modes_exact():
+    """The one-hot MXU attribute selection (default — replaces five
+    per-pixel gathers, the TPU slow path) is bit-exact with the gather
+    form: the {0,1} f32 one-hot row has exactly one nonzero term, so the
+    contraction reproduces the gathered f32 attribute exactly."""
+    from embodied_captioning_tpu.config import SimConfig
+    from embodied_captioning_tpu.envs.sim import generate_scene, render
+
+    scene = generate_scene(SimConfig(scene_size=8.0, num_objects=6), seed=5)
+    pose = np.eye(4, dtype=np.float32)
+    pose[1, 3] = 0.88
+    a = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, "onehot")
+    b = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, "gather")
+    for k in ("rgb", "depth", "instances", "classes"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_sim_render_and_gt():
     from embodied_captioning_tpu.config import SensorConfig, SimConfig
     from embodied_captioning_tpu.envs.sim import RaycastSim
