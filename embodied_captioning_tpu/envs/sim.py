@@ -265,15 +265,52 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
 
     inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-8,
                           jnp.where(dirs >= 0, 1e-8, -1e-8), dirs)
-    # slab test against all boxes: [H, W, B]
-    t0 = (scene.box_min[None, None] - origin) * inv[:, :, None, :]
-    t1 = (scene.box_max[None, None] - origin) * inv[:, :, None, :]
-    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (t_near <= t_far) & (t_far > 1e-4) & scene.valid[None, None]
-    t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
-    best = jnp.argmin(t_hit, axis=-1)               # [H, W]
-    t_best = jnp.min(t_hit, axis=-1)
+    if attr_mode.endswith("+pk"):
+        # Pallas kernel: slab test + running (min, argmin) fused in VMEM,
+        # so the [H, W, Bx] hit-distance tensor never reaches HBM (the
+        # XLA paths below materialize it twice). Bit-exact with them —
+        # same expression tree, same first-lowest-index tie-breaking.
+        from ..ops.pallas.dispatch import _interpret
+        from ..ops.pallas.raycast import raycast_minargmin
+
+        t_best, best = raycast_minargmin(
+            scene.box_min - origin, scene.box_max - origin, scene.valid,
+            inv, interpret=_interpret())
+    else:
+        # slab test against all boxes: [H, W, B]
+        t0 = (scene.box_min[None, None] - origin) * inv[:, :, None, :]
+        t1 = (scene.box_max[None, None] - origin) * inv[:, :, None, :]
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (t_near <= t_far) & (t_far > 1e-4) & scene.valid[None, None]
+        t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
+    if attr_mode.endswith("+pk"):
+        pass
+    elif attr_mode.endswith("+vr"):
+        # One variadic (min, argmin) reduce instead of separate
+        # jnp.argmin + jnp.min: with a single consumer XLA fuses the
+        # whole slab test into the reduce's input fusion, so the
+        # [H, W, Bx] f32 intermediate never touches HBM. (The separate
+        # spelling materialized it TWICE — duplicated producer fusions
+        # feeding min and argmin — 54 of the 74 ms/batch device time at
+        # 16x1280^2x96.) Tie-break (ib < ia) on equal t makes the pair
+        # reduction associative AND equal to argmin's first-min-index.
+        def _minpair(a, b):
+            ta, ia = a
+            tb, ib = b
+            better = (tb < ta) | ((tb == ta) & (ib < ia))
+            return (jnp.where(better, tb, ta), jnp.where(better, ib, ia))
+
+        nb_ = t_hit.shape[-1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 2)
+        t_best, best = jax.lax.reduce(
+            (t_hit, idx), (jnp.float32(jnp.inf), jnp.int32(nb_)),
+            _minpair, dimensions=(2,))
+        best = jnp.minimum(best, nb_ - 1)   # all-miss rows: match argmin=0
+        best = jnp.where(jnp.isfinite(t_best), best, 0)
+    else:
+        best = jnp.argmin(t_hit, axis=-1)           # [H, W]
+        t_best = jnp.min(t_hit, axis=-1)
     valid = jnp.isfinite(t_best)
 
     # planar depth (distance along camera -Z), habitat depth convention
@@ -282,14 +319,20 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
 
     # shading
     p_hit = origin + dirs * t_best[..., None]
-    if attr_mode == "onehot":
+    base_mode = (attr_mode[:-3]
+                 if attr_mode.endswith(("+vr", "+pk")) else attr_mode)
+    if base_mode in ("onehot", "onehot16"):
         nb = scene.box_min.shape[0]
         table = jnp.concatenate(
             [scene.box_min, scene.box_max, scene.albedo,
              scene.class_id[:, None].astype(jnp.float32),
              scene.instance_id[:, None].astype(jnp.float32)],
             axis=-1)                                   # [Bx, 11]
-        oh = (best[..., None] == jnp.arange(nb)).astype(jnp.float32)
+        # "onehot16" stores the one-hot at bf16 (0/1 are exact in bf16 and
+        # the upcast back to f32 inside the contraction is exact, so the
+        # result is STILL bit-identical) — halves the [H,W,Bx] HBM traffic.
+        oh_dt = jnp.bfloat16 if base_mode == "onehot16" else jnp.float32
+        oh = (best[..., None] == jnp.arange(nb)).astype(oh_dt)
         # HIGHEST: TPU f32 matmuls otherwise run as bf16-split passes,
         # which breaks the exactly-one-nonzero-term exactness (ids must
         # round-trip bit-exact); rounding guards the int decode besides

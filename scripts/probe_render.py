@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--size", type=int, default=1280)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated subset of arms to time")
+    ap.add_argument("--trace", metavar="MODE",
+                    help="device-trace one batch of MODE and print the "
+                         "per-op table (reuses profile_ops.report)")
     args = ap.parse_args()
 
     import jax
@@ -61,28 +66,51 @@ def main() -> None:
 
         return run
 
+    modes = ("gather", "onehot", "onehot16", "onehot+vr", "onehot+pk")
+    if args.modes:
+        modes = ("gather",) + tuple(
+            m for m in args.modes.split(",") if m != "gather")
+
     # parity at small size first (cheap compile)
     small = {}
-    for mode in ("gather", "onehot"):
+    for mode in modes:
         small[mode] = render_batch_chunked(scenes, poses, 128, 128, 79.0,
                                            15.0, attr_mode=mode)
     for k in ("rgb", "depth", "instances", "classes"):
         a = np.asarray(small["gather"][k]).astype(np.float32)
-        b = np.asarray(small["onehot"][k]).astype(np.float32)
-        assert np.abs(a - b).max() == 0.0, f"parity break on {k}"
+        for m in modes[1:]:
+            b = np.asarray(small[m][k]).astype(np.float32)
+            assert np.abs(a - b).max() == 0.0, f"parity break on {k} ({m})"
     print(f"  parity at 128^2: exact on rgb/depth/instances/classes",
           flush=True)
 
-    for mode in ("gather", "onehot"):
-        run = fenced(mode)
+    if args.trace:
+        import tempfile
+        from profile_ops import report
+        run = fenced(args.trace)
         _ = run()   # compile + warm
-        ts = []
-        for _ in range(args.iters):
+        trace_dir = tempfile.mkdtemp(prefix="ecap_render_trace_")
+        jax.profiler.start_trace(trace_dir)
+        _ = run()
+        jax.profiler.stop_trace()
+        report(trace_dir, 25)
+        return
+
+    # interleave arms round-robin: chip/tunnel throughput drifts across
+    # minutes (observed 113->200 ms for the SAME arm in back-to-back
+    # runs), so sequential per-arm timing confounds arm with drift
+    runs = {m: fenced(m) for m in modes}
+    for m in modes:
+        _ = runs[m]()   # compile + warm
+    ts = {m: [] for m in modes}
+    for _ in range(args.iters):
+        for m in modes:
             t0 = time.perf_counter()
-            _ = run()
-            ts.append(time.perf_counter() - t0)
-        ms = 1000.0 * sorted(ts)[len(ts) // 2]
-        print(f"  {mode:<8s} {ms:8.1f} ms/batch  "
+            _ = runs[m]()
+            ts[m].append(time.perf_counter() - t0)
+    for m in modes:
+        ms = 1000.0 * sorted(ts[m])[len(ts[m]) // 2]
+        print(f"  {m:<9s} {ms:8.1f} ms/batch  "
               f"({1000.0 * n / ms:6.1f} frames/s)", flush=True)
 
 

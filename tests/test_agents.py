@@ -114,20 +114,24 @@ def test_fifo_memory():
 
 
 def test_render_attr_modes_exact():
-    """The one-hot MXU attribute selection (default — replaces five
-    per-pixel gathers, the TPU slow path) is bit-exact with the gather
-    form: the {0,1} f32 one-hot row has exactly one nonzero term, so the
-    contraction reproduces the gathered f32 attribute exactly."""
+    """Every render lowering is bit-exact with the gather form: the
+    one-hot MXU attribute selection (default — replaces five per-pixel
+    gathers, the TPU slow path) has exactly one nonzero f32 term per
+    pixel; "+vr" only respells min/argmin as one variadic reduce with
+    associative first-lowest-index tie-breaking; "+pk" runs the Pallas
+    VMEM-fused visibility kernel (interpret mode on CPU)."""
     from embodied_captioning_tpu.config import SimConfig
     from embodied_captioning_tpu.envs.sim import generate_scene, render
 
     scene = generate_scene(SimConfig(scene_size=8.0, num_objects=6), seed=5)
     pose = np.eye(4, dtype=np.float32)
     pose[1, 3] = 0.88
-    a = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, "onehot")
-    b = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, "gather")
-    for k in ("rgb", "depth", "instances", "classes"):
-        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    ref = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, "gather")
+    for mode in ("onehot", "onehot16", "onehot+vr", "onehot+pk"):
+        got = render(scene, jnp.asarray(pose), 64, 64, 79.0, 15.0, mode)
+        for k in ("rgb", "depth", "instances", "classes"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(ref[k]), err_msg=f"{mode}/{k}")
 
 
 def test_sim_render_and_gt():

@@ -86,7 +86,9 @@ def test_quantize_kv_attention_close(rng):
     """int8 cross-KV attention matches the bf16-KV result closely: scales
     lie along each einsum's contracted axis so they factor out exactly —
     only the int8 rounding of K/V remains."""
-    from embodied_captioning_tpu.models.common import mha, mha_init
+    from embodied_captioning_tpu.models.common import (
+        cross_v_headmajor, mha, mha_init,
+    )
     from embodied_captioning_tpu.models.quantize import quantize_kv
 
     b, h, dh, kl, d = 2, 4, 16, 10, 64
@@ -94,8 +96,16 @@ def test_quantize_kv_attention_close(rng):
     x = jnp.asarray(rng.standard_normal((b, 1, d)), jnp.float32)
     kt = jnp.asarray(rng.standard_normal((b, h, dh, kl)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((b, kl, h, dh)), jnp.bfloat16)
-    out_f, _ = mha(p, x, h, kv_precomputed=(kt, v))
-    out_q, _ = mha(p, x, h, kv_precomputed=quantize_kv(kt, v))
+    # quantize_kv takes [B, K, H, Dh]; mha's precomputed-V layout contract
+    # follows cross_v_headmajor() (the precompute_kv transpose), so mirror
+    # it here (ref round-3 default: head-major [B, H, K, Dh])
+    qkv = quantize_kv(kt, v)
+    v_f = v
+    if cross_v_headmajor():
+        v_f = jnp.transpose(v, (0, 2, 1, 3))
+        qkv = qkv._replace(v=jnp.transpose(qkv.v, (0, 2, 1, 3)))
+    out_f, _ = mha(p, x, h, kv_precomputed=(kt, v_f))
+    out_q, _ = mha(p, x, h, kv_precomputed=qkv)
     a = np.asarray(out_f, np.float32)
     bq = np.asarray(out_q, np.float32)
     # int8 K/V rounding is ~0.4% relative; attention keeps it small
