@@ -244,7 +244,12 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
         [Bx,11] attribute table on the MXU — bit-exact with "gather"
         (exactly one nonzero f32 term per pixel) but avoids five
         per-pixel elementwise gathers, the measured-slow path on TPU
-        (see ops/image.py). "gather" keeps the indexed form.
+        (see ops/image.py; 10x at 16x1280^2, scripts/probe_render.py).
+        "gather" keeps the indexed form. "onehot16" stores the one-hot
+        at bf16 (still exact; probed parity). Suffix "+vr" respells
+        min/argmin as one variadic reduce, "+pk" runs the Pallas
+        VMEM-fused visibility kernel (ops/pallas/raycast.py) — both
+        bit-exact, both probed parity-to-noise on v5e (docs/BENCH.md).
 
     Returns dict: rgb [H, W, 3] uint8, depth [H, W] f32 meters (euclidean-z,
     habitat-style planar depth), instances [H, W] i32 per-pixel instance id

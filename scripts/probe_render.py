@@ -2,18 +2,31 @@
 """Probe: RaycastSim render cost at the loop workload (1280^2, 16 envs).
 
 The round-3 loop bench measured 9.52 fps with the sim in the loop vs
-77.17 pure perception — the 1280^2 render costs ~7x a perception step on
-the shared chip. Hypothesis: the five per-pixel attribute gathers
+77.17 pure perception — the 1280^2 render cost ~7x a perception step on
+the shared chip. CONFIRMED: the five per-pixel attribute gathers
 (albedo[best], box_min[best], ...) hit the elementwise-gather slow path
-(ops/image.py measured 17x there). Arms:
+(ops/image.py measured 17x there): onehot measured 10x over gather
+(1173 -> 117 ms/16-frame batch), loop 9.52 -> 50.8-55.4 fps. Arms (all
+bit-exact, tests/test_agents.py):
 
-  gather   the indexed form (round<=2 default)
-  onehot   {0,1}[H,W,Bx] @ [Bx,11] attribute table on the MXU (exact)
+  gather     the indexed form (round<=2 default)
+  onehot     {0,1}[H,W,Bx] @ [Bx,11] attribute table on the MXU (DEFAULT)
+  onehot16   bf16 one-hot storage (parity — XLA fuses the one-hot anyway)
+  onehot+vr  variadic (min,argmin) lax.reduce (parity — same materialized
+             producers feed the reduce fusion; see --trace)
+  onehot+pk  Pallas VMEM-fused visibility kernel, ops/pallas/raycast.py
+             (parity-to-noise on v5e: VPU-serial chain ~= roofline
+             materialization; documented negative, stays opt-in)
 
-Both run through render_batch_chunked at the exact loop shapes, fenced by
+All run through render_batch_chunked at the exact loop shapes, fenced by
 scalar-checksum readback (tunnel: block_until_ready does not fence).
+Arms are interleaved round-robin: tunnel throughput drifts across minutes
+(same arm 113->200 ms in back-to-back runs), so only in-run comparisons
+count.
 
 Usage: python scripts/probe_render.py [--envs 16 --size 1280 --iters 6]
+       python scripts/probe_render.py --modes onehot,onehot+pk
+       python scripts/probe_render.py --trace onehot   # per-op table
 """
 
 import argparse
