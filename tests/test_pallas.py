@@ -353,3 +353,45 @@ def test_decode_cross_block_kernel_parity(monkeypatch):
     a = np.asarray(out, np.float32)[:, None]
     np.testing.assert_allclose(a, ref, rtol=0.06, atol=0.06)
     assert np.corrcoef(a.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_raycast_kernel_edge_cases(rng):
+    """ops/pallas/raycast vs the XLA argmin/min spelling on adversarial
+    inputs: all-miss rays (t_best inf, best 0 — argmin-over-inf
+    semantics), invalid boxes (never hit), duplicate boxes (first-index
+    tie-break), and zero-component ray directions (clamped inv)."""
+    from embodied_captioning_tpu.ops.pallas.raycast import raycast_minargmin
+
+    nb, h, w = 7, 16, 128
+    box_min = rng.uniform(-4, 4, (nb, 3)).astype(np.float32)
+    box_max = (box_min + rng.uniform(0.2, 2.0, (nb, 3))).astype(np.float32)
+    box_min[3] = box_min[2]          # duplicate box -> tie on every hit
+    box_max[3] = box_max[2]
+    valid = np.ones((nb,), bool)
+    valid[5] = False                 # invalid box must never win
+    origin = np.zeros((3,), np.float32)
+
+    dirs = rng.standard_normal((h, w, 3)).astype(np.float32)
+    dirs[0, :, :] = np.array([0.0, 0.0, 1.0])   # zero x/y components
+    dirs[1, :, :] = np.array([0.0, 1.0, 0.0])
+    inv = (1.0 / np.where(np.abs(dirs) < 1e-8,
+                          np.where(dirs >= 0, 1e-8, -1e-8), dirs)
+           ).astype(np.float32)   # keep the reference in f32 like the sim
+
+    # XLA reference (the spelling in envs/sim.render)
+    t0 = (box_min[None, None] - origin) * inv[:, :, None, :]
+    t1 = (box_max[None, None] - origin) * inv[:, :, None, :]
+    t_near = np.max(np.minimum(t0, t1), axis=-1)
+    t_far = np.min(np.maximum(t0, t1), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 1e-4) & valid[None, None]
+    t_hit = np.where(hit, np.maximum(t_near, 1e-4), np.inf)
+    ref_best = np.argmin(t_hit, axis=-1)
+    ref_t = np.min(t_hit, axis=-1)
+    assert not np.isfinite(ref_t).all()          # some rays miss everything
+    assert (ref_best[np.isfinite(ref_t)] != 5).all()
+
+    t_best, best = raycast_minargmin(
+        jnp.asarray(box_min - origin), jnp.asarray(box_max - origin),
+        jnp.asarray(valid), jnp.asarray(inv), interpret=True)
+    np.testing.assert_array_equal(np.asarray(t_best), ref_t)
+    np.testing.assert_array_equal(np.asarray(best), ref_best)
