@@ -289,33 +289,31 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
         t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (t_near <= t_far) & (t_far > 1e-4) & scene.valid[None, None]
         t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
-    if attr_mode.endswith("+pk"):
-        pass
-    elif attr_mode.endswith("+vr"):
-        # One variadic (min, argmin) reduce instead of separate
-        # jnp.argmin + jnp.min: with a single consumer XLA fuses the
-        # whole slab test into the reduce's input fusion, so the
-        # [H, W, Bx] f32 intermediate never touches HBM. (The separate
-        # spelling materialized it TWICE — duplicated producer fusions
-        # feeding min and argmin — 54 of the 74 ms/batch device time at
-        # 16x1280^2x96.) Tie-break (ib < ia) on equal t makes the pair
-        # reduction associative AND equal to argmin's first-min-index.
-        def _minpair(a, b):
-            ta, ia = a
-            tb, ib = b
-            better = (tb < ta) | ((tb == ta) & (ib < ia))
-            return (jnp.where(better, tb, ta), jnp.where(better, ib, ia))
+        if attr_mode.endswith("+vr"):
+            # One variadic (min, argmin) reduce instead of separate
+            # jnp.argmin + jnp.min. Probed parity on v5e: XLA still feeds
+            # the reduce fusion from two materialized [H, W, Bx] producer
+            # fusions, same as the separate spelling (docs/BENCH.md) —
+            # kept as the documented A/B arm. Tie-break (ib < ia) on
+            # equal t makes the pair reduction associative AND equal to
+            # argmin's first-min-index.
+            def _minpair(a, b):
+                ta, ia = a
+                tb, ib = b
+                better = (tb < ta) | ((tb == ta) & (ib < ia))
+                return (jnp.where(better, tb, ta),
+                        jnp.where(better, ib, ia))
 
-        nb_ = t_hit.shape[-1]
-        idx = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 2)
-        t_best, best = jax.lax.reduce(
-            (t_hit, idx), (jnp.float32(jnp.inf), jnp.int32(nb_)),
-            _minpair, dimensions=(2,))
-        best = jnp.minimum(best, nb_ - 1)   # all-miss rows: match argmin=0
-        best = jnp.where(jnp.isfinite(t_best), best, 0)
-    else:
-        best = jnp.argmin(t_hit, axis=-1)           # [H, W]
-        t_best = jnp.min(t_hit, axis=-1)
+            nb_ = t_hit.shape[-1]
+            idx = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 2)
+            t_best, best = jax.lax.reduce(
+                (t_hit, idx), (jnp.float32(jnp.inf), jnp.int32(nb_)),
+                _minpair, dimensions=(2,))
+            best = jnp.minimum(best, nb_ - 1)  # all-miss: match argmin=0
+            best = jnp.where(jnp.isfinite(t_best), best, 0)
+        else:
+            best = jnp.argmin(t_hit, axis=-1)       # [H, W]
+            t_best = jnp.min(t_hit, axis=-1)
     valid = jnp.isfinite(t_best)
 
     # planar depth (distance along camera -Z), habitat depth convention
