@@ -109,7 +109,10 @@ def main() -> None:
     t0 = time.time()
     if args.split == "scenes":
         train_frames = collect(cfg, args.episodes, 16, 0, rng)
-        test_frames = collect(cfg, 2, 12, 500, rng)
+        # 4 unseen scenes: with 2 the unseen-scene mAP@50 swung 0.58-0.71
+        # between otherwise-comparable ladder rungs (docs/BENCH.md) —
+        # the eval draw, not the model, dominated the delta
+        test_frames = collect(cfg, 4, 12, 500, rng)
     else:  # held-out frames of the same scenes
         all_frames = collect(cfg, args.episodes, 20, 0, rng)
         order = rng.permutation(len(all_frames))
