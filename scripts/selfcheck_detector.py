@@ -78,6 +78,43 @@ def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
     return frames
 
 
+def save_corpus(path, frames):
+    """Serialize a collected frame list to one npz (fixed eval corpus)."""
+    import numpy as np
+
+    rgb = np.stack([f[0] for f in frames])
+    det = {k: np.stack([np.asarray(getattr(f[1], k)) for f in frames])
+           for k in ("boxes", "classes", "scores", "logits", "valid",
+                     "masks")}
+    np.savez_compressed(path, rgb=rgb, **det)
+
+
+def load_corpus(path):
+    import numpy as np
+
+    from embodied_captioning_tpu.ops.detections import Detections
+
+    z = np.load(path)
+    return [(z["rgb"][i], Detections(
+        boxes=z["boxes"][i], classes=z["classes"][i], scores=z["scores"][i],
+        logits=z["logits"][i], valid=z["valid"][i], masks=z["masks"][i]))
+        for i in range(z["rgb"].shape[0])]
+
+
+def corpus_checksum(frames):
+    """Cheap content hash so rung logs prove they evaluated the same bytes."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for rgb, det in frames:
+        h.update(np.ascontiguousarray(rgb))
+        h.update(np.ascontiguousarray(np.asarray(det.boxes, np.float32)))
+        h.update(np.ascontiguousarray(np.asarray(det.valid)))
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny")
@@ -91,6 +128,23 @@ def main() -> None:
     ap.add_argument("--episodes", type=int, default=6)
     ap.add_argument("--augment", action="store_true",
                     help="flip + color-jitter training batches")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed: init key, walk RNG, batch order, "
+                         "augmentation draws (scene geometry seeds stay "
+                         "fixed, so repeat-seed rungs measure training "
+                         "variance on identical scene pools)")
+    ap.add_argument("--eval-scenes", type=int, default=8)
+    ap.add_argument("--eval-ep-steps", type=int, default=12)
+    ap.add_argument("--eval-seed", type=int, default=500,
+                    help="unseen-scene eval draw: scene seeds start here and "
+                         "its walk RNG is private, so the corpus no longer "
+                         "shifts with --episodes/--seed (pre-round-3-final "
+                         "rungs shared the training RNG and each evaluated "
+                         "a different draw — docs/BENCH.md ladder spread)")
+    ap.add_argument("--eval-cache", default=None,
+                    help="npz path: save the eval corpus on first run, load "
+                         "it afterwards — repeat rungs then share literally "
+                         "identical eval bytes (checksum printed)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -105,14 +159,24 @@ def main() -> None:
     from embodied_captioning_tpu.utils.metrics import evaluate_detections
 
     cfg = load_config(args.preset, overrides=list(args.overrides))
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     t0 = time.time()
     if args.split == "scenes":
         train_frames = collect(cfg, args.episodes, 16, 0, rng)
-        # 4 unseen scenes: with 2 the unseen-scene mAP@50 swung 0.58-0.71
-        # between otherwise-comparable ladder rungs (docs/BENCH.md) —
-        # the eval draw, not the model, dominated the delta
-        test_frames = collect(cfg, 4, 12, 500, rng)
+        # unseen-scene eval on a FIXED corpus: its own RNG + scene seeds,
+        # optionally cached to disk, so rung-to-rung deltas measure the
+        # model, not the eval draw (with 2 shared-RNG scenes the mAP@50
+        # swung 0.43-0.71 between comparable rungs — docs/BENCH.md)
+        if args.eval_cache and os.path.exists(args.eval_cache):
+            test_frames = load_corpus(args.eval_cache)
+        else:
+            test_frames = collect(cfg, args.eval_scenes, args.eval_ep_steps,
+                                  args.eval_seed,
+                                  np.random.default_rng(args.eval_seed))
+            if args.eval_cache:
+                save_corpus(args.eval_cache, test_frames)
+        print(f"[selfcheck-det] eval corpus {len(test_frames)} frames, "
+              f"sha {corpus_checksum(test_frames)}", flush=True)
     else:  # held-out frames of the same scenes
         all_frames = collect(cfg, args.episodes, 20, 0, rng)
         order = rng.permutation(len(all_frames))
@@ -125,7 +189,7 @@ def main() -> None:
 
     dcfg = cfg.detector
     size = dcfg.image_size
-    params = DET.init_detector(jax.random.PRNGKey(0), dcfg)
+    params = DET.init_detector(jax.random.PRNGKey(args.seed), dcfg)
     opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
     opt_state = opt.init(params)
 
@@ -251,6 +315,9 @@ def main() -> None:
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
+        "seed": args.seed,
+        "eval_sha": (corpus_checksum(test_frames)
+                     if args.split == "scenes" else None),
         "frames": len(train_frames), "steps": args.steps,
         "first_loss": round(first, 3), "last_loss": round(last, 3),
         "map50_before": round(map_before, 4),
