@@ -230,6 +230,66 @@ def _hash_noise(p: jnp.ndarray) -> jnp.ndarray:
     return (q * 43758.5453) % 1.0
 
 
+def _tile_candidates(scene: Scene, origin, R, fx, fy, xc, yc,
+                     height: int, width: int, tile: int, k: int):
+    """Conservative per-tile candidate boxes for the culled render path.
+
+    Projects each AABB's 8 corners to screen space; a box whose corners are
+    all strictly in front of the camera gets the (padded) bbox of the
+    projections — perspective projection of a convex set lies inside the
+    convex hull of its projected vertices, so any pixel whose center ray
+    hits the box falls inside that bbox. A box with any corner at or behind
+    the camera plane (including boxes containing the camera: if all 8
+    corners had z<0 the whole convex box would, so the origin could not be
+    inside) conservatively becomes a candidate for every tile.
+
+    Returns (cand [T,K] int32 ascending global box index padded with 0,
+    cand_valid [T,K] bool, overflow [] int32 = max over tiles of dropped
+    candidates). overflow == 0 certifies the culled render is bit-exact
+    with the full render (tests/test_agents.py).
+    """
+    nb = scene.box_min.shape[0]
+    th, tw = height // tile, width // tile
+    # corners = 8 sign combinations of (min, max) per axis: [B, 8, 3]
+    sel = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None]) & 1) == 1
+    corners = jnp.where(sel[None, :, :], scene.box_max[:, None, :],
+                        scene.box_min[:, None, :])
+    q = jnp.einsum("bjc,ck->bjk", corners - origin[None, None], R)
+    z = q[..., 2]
+    front = jnp.all(z < -1e-6, axis=-1)                       # [B]
+    zsafe = jnp.minimum(z, -1e-6)
+    sx = xc + fx * (q[..., 0] / -zsafe)
+    sy = yc - fy * (q[..., 1] / -zsafe)
+    pad = 1.0  # f32 projection rounding guard (px)
+    bxmin = jnp.where(front, jnp.min(sx, -1) - pad, -jnp.inf)
+    bxmax = jnp.where(front, jnp.max(sx, -1) + pad, jnp.inf)
+    bymin = jnp.where(front, jnp.min(sy, -1) - pad, -jnp.inf)
+    bymax = jnp.where(front, jnp.max(sy, -1) + pad, jnp.inf)
+    tx0 = (jnp.arange(tw) * tile).astype(jnp.float32)         # [TW]
+    ty0 = (jnp.arange(th) * tile).astype(jnp.float32)         # [TH]
+    ox = (bxmax[None] >= tx0[:, None]) & (bxmin[None]
+                                          <= tx0[:, None] + tile - 1)
+    oy = (bymax[None] >= ty0[:, None]) & (bymin[None]
+                                          <= ty0[:, None] + tile - 1)
+    overlap = (oy[:, None, :] & ox[None, :, :]
+               & scene.valid[None, None]).reshape(th * tw, nb)
+    # ascending global order keeps argmin's first-min tie-break identical
+    cand_sorted = jnp.sort(
+        jnp.where(overlap, jnp.arange(nb)[None], nb), axis=-1)[:, :k]
+    cand_valid = cand_sorted < nb
+    overflow = jnp.maximum(jnp.max(jnp.sum(overlap, -1)) - k, 0)
+    return jnp.minimum(cand_sorted, nb - 1), cand_valid, overflow
+
+
+def _parse_cull(attr_mode: str):
+    """\"onehot@160x48\" -> (\"onehot\", 160, 48); no \"@\" -> (mode, 0, 0)."""
+    if "@" not in attr_mode:
+        return attr_mode, 0, 0
+    mode, spec = attr_mode.split("@", 1)
+    t, k = spec.split("x")
+    return mode, int(t), int(k)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "hfov_deg",
                                              "attr_mode"))
 def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
@@ -250,6 +310,9 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
         min/argmin as one variadic reduce, "+pk" runs the Pallas
         VMEM-fused visibility kernel (ops/pallas/raycast.py) — both
         bit-exact, both probed parity-to-noise on v5e (docs/BENCH.md).
+        "onehot@TxK" tiles the image into TxT tiles and slab-tests only
+        each tile's K conservative screen-space candidate boxes
+        (_tile_candidates) — bit-exact unless a tile overflows K.
 
     Returns dict: rgb [H, W, 3] uint8, depth [H, W] f32 meters (euclidean-z,
     habitat-style planar depth), instances [H, W] i32 per-pixel instance id
@@ -270,7 +333,65 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
 
     inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-8,
                           jnp.where(dirs >= 0, 1e-8, -1e-8), dirs)
-    if attr_mode.endswith("+pk"):
+    attrs_pre = None
+    attr_base, cull_tile, cull_k = _parse_cull(attr_mode)
+    if cull_tile:
+        # tile-culled visibility: slab-test only each tile's conservative
+        # candidate set (screen-space AABB overlap, _tile_candidates) so
+        # the [H, W, Bx] hit tensor shrinks to [H, W, K]. Bit-exact with
+        # the full render whenever no tile overflows K (candidates are a
+        # superset of hitters in ascending global order, so min AND
+        # first-min-index match; exactness-tested, overflow diagnosable
+        # via _tile_candidates).
+        if attr_base != "onehot":
+            raise ValueError("culling supports the onehot base mode only")
+        if height % cull_tile or width % cull_tile:
+            raise ValueError("image size must be divisible by the tile")
+        nb = scene.box_min.shape[0]
+        k = min(cull_k, nb)
+        cand, cand_valid, _ = _tile_candidates(
+            scene, origin, R, fx, fy, xc, yc, height, width, cull_tile, k)
+        table = jnp.concatenate(
+            [scene.box_min, scene.box_max, scene.albedo,
+             scene.class_id[:, None].astype(jnp.float32),
+             scene.instance_id[:, None].astype(jnp.float32)],
+            axis=-1)                                     # [Bx, 11]
+        bmin_t, bmax_t, table_t = (scene.box_min[cand], scene.box_max[cand],
+                                   table[cand])          # [T, K, ...]
+        nth, ntw = height // cull_tile, width // cull_tile
+
+        def to_tiles(x):
+            x = x.reshape(nth, cull_tile, ntw, cull_tile, 3)
+            return x.transpose(0, 2, 1, 3, 4).reshape(
+                nth * ntw, cull_tile, cull_tile, 3)
+
+        def tile_fn(inv_t, bmn, bmx, cv, tab):
+            t0 = (bmn[None, None] - origin) * inv_t[:, :, None, :]
+            t1 = (bmx[None, None] - origin) * inv_t[:, :, None, :]
+            t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            hit = (t_near <= t_far) & (t_far > 1e-4) & cv[None, None]
+            t_hit = jnp.where(hit, jnp.maximum(t_near, 1e-4), jnp.inf)
+            best_l = jnp.argmin(t_hit, axis=-1)
+            t_b = jnp.min(t_hit, axis=-1)
+            oh = (best_l[..., None] == jnp.arange(k)).astype(jnp.float32)
+            at = jnp.einsum("hwk,kc->hwc", oh, tab,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            return t_b, at
+
+        t_best_t, attrs_t = jax.vmap(tile_fn)(
+            to_tiles(inv), bmin_t, bmax_t, cand_valid, table_t)
+
+        def from_tiles(x):
+            c = x.shape[-1:] if x.ndim == 4 else ()
+            x = x.reshape(nth, ntw, cull_tile, cull_tile, *c)
+            x = x.transpose(0, 2, 1, 3, *range(4, x.ndim))
+            return x.reshape(height, width, *c)
+
+        t_best = from_tiles(t_best_t)
+        attrs_pre = from_tiles(attrs_t)
+    elif attr_mode.endswith("+pk"):
         # Pallas kernel: slab test + running (min, argmin) fused in VMEM,
         # so the [H, W, Bx] hit-distance tensor never reaches HBM (the
         # XLA paths below materialize it twice). Bit-exact with them —
@@ -324,7 +445,13 @@ def render(scene: Scene, pose: jnp.ndarray, height: int, width: int,
     p_hit = origin + dirs * t_best[..., None]
     base_mode = (attr_mode[:-3]
                  if attr_mode.endswith(("+vr", "+pk")) else attr_mode)
-    if base_mode in ("onehot", "onehot16"):
+    if attrs_pre is not None:
+        attrs = attrs_pre
+        bmin, bmax = attrs[..., 0:3], attrs[..., 3:6]
+        albedo_px = attrs[..., 6:9]
+        class_px = jnp.round(attrs[..., 9]).astype(jnp.int32)
+        inst_px = jnp.round(attrs[..., 10]).astype(jnp.int32)
+    elif base_mode in ("onehot", "onehot16"):
         nb = scene.box_min.shape[0]
         table = jnp.concatenate(
             [scene.box_min, scene.box_max, scene.albedo,

@@ -79,16 +79,25 @@ def main() -> None:
 
         return run
 
-    modes = ("gather", "onehot", "onehot16", "onehot+vr", "onehot+pk")
+    # onehot@TxK = tile-culled (T-px tiles, K candidate boxes per tile):
+    # the only arm that REDUCES slab-test traffic (H*W*K vs H*W*Bx)
+    # rather than respelling it; bit-exact unless a tile overflows K
+    # (parity assert below catches that on these scenes)
+    modes = ("gather", "onehot", "onehot16", "onehot+vr", "onehot+pk",
+             "onehot@160x48", "onehot@160x64")
     if args.modes:
         modes = ("gather",) + tuple(
             m for m in args.modes.split(",") if m != "gather")
 
-    # parity at small size first (cheap compile)
+    # parity at small size first (cheap compile); culled arms shrink the
+    # tile to divide 128 (candidate logic identical, just more tiles)
+    import re
+
     small = {}
     for mode in modes:
+        small_mode = re.sub(r"@\d+x", "@32x", mode)
         small[mode] = render_batch_chunked(scenes, poses, 128, 128, 79.0,
-                                           15.0, attr_mode=mode)
+                                           15.0, attr_mode=small_mode)
     for k in ("rgb", "depth", "instances", "classes"):
         a = np.asarray(small["gather"][k]).astype(np.float32)
         for m in modes[1:]:
@@ -96,6 +105,27 @@ def main() -> None:
             assert np.abs(a - b).max() == 0.0, f"parity break on {k} ({m})"
     print(f"  parity at 128^2: exact on rgb/depth/instances/classes",
           flush=True)
+
+    # culled arms: report max per-tile candidate overflow at the TIMING
+    # resolution (exactness certificate — overflow 0 means bit-exact there
+    # too, not just at the 128^2 parity check)
+    from embodied_captioning_tpu.envs.sim import _parse_cull, _tile_candidates
+    from embodied_captioning_tpu.ops.geometry import intrinsics_from_hfov
+
+    for mode in modes:
+        _, tile, k = _parse_cull(mode)
+        if not tile:
+            continue
+        fx, fy, xc, yc = intrinsics_from_hfov(hw, hw, 79.0)
+        ovf = max(
+            int(_tile_candidates(
+                jax.tree_util.tree_map(lambda x: x[i], scenes),
+                poses[i, :3, 3], poses[i, :3, :3], fx, fy, xc, yc,
+                hw, hw, tile, k)[2])
+            for i in range(n))
+        print(f"  {mode}: max per-tile candidate overflow at {hw}^2 = {ovf}"
+              f" ({'bit-exact' if ovf == 0 else 'INEXACT on these scenes'})",
+              flush=True)
 
     if args.trace:
         import tempfile

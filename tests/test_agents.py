@@ -134,6 +134,45 @@ def test_render_attr_modes_exact():
                 np.asarray(got[k]), np.asarray(ref[k]), err_msg=f"{mode}/{k}")
 
 
+def test_render_tile_culled_exact():
+    """Tile-culled render ("onehot@TxK"): per-tile conservative candidate
+    sets keep the min AND first-min-index identical to the full slab test,
+    so the output is bit-exact whenever no tile overflows K. Checked over
+    several scenes/poses (incl. looking along the room, the worst case for
+    per-tile candidate counts), with the overflow diagnostic asserted 0."""
+    from embodied_captioning_tpu.config import SimConfig
+    from embodied_captioning_tpu.envs.sim import (
+        _tile_candidates, generate_scene, render,
+    )
+    from embodied_captioning_tpu.ops.geometry import intrinsics_from_hfov
+
+    rng = np.random.default_rng(3)
+    for seed in (5, 11):
+        scene = generate_scene(
+            SimConfig(scene_size=8.0, num_objects=6), seed=seed)
+        for _ in range(3):
+            yaw = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(yaw), np.sin(yaw)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.asarray(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            pose[0, 3] = rng.uniform(1, 7)
+            pose[2, 3] = rng.uniform(1, 7)
+            pose[1, 3] = 0.88
+            pose = jnp.asarray(pose)
+            ref = render(scene, pose, 64, 64, 79.0, 15.0, "onehot")
+            got = render(scene, pose, 64, 64, 79.0, 15.0, "onehot@16x48")
+            for k in ("rgb", "depth", "instances", "classes"):
+                np.testing.assert_array_equal(
+                    np.asarray(got[k]), np.asarray(ref[k]),
+                    err_msg=f"seed{seed}/{k}")
+            fx, fy, xc, yc = intrinsics_from_hfov(64, 64, 79.0)
+            _, _, overflow = _tile_candidates(
+                scene, pose[:3, 3], pose[:3, :3], fx, fy, xc, yc,
+                64, 64, 16, 48)
+            assert int(overflow) == 0
+
+
 def test_sim_render_and_gt():
     from embodied_captioning_tpu.config import SensorConfig, SimConfig
     from embodied_captioning_tpu.envs.sim import RaycastSim
