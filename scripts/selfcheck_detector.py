@@ -128,6 +128,10 @@ def main() -> None:
     ap.add_argument("--episodes", type=int, default=6)
     ap.add_argument("--augment", action="store_true",
                     help="flip + color-jitter training batches")
+    ap.add_argument("--augment-crop", action="store_true",
+                    help="add random-resized-crop (zoom 0.55-0.95) to "
+                         "--augment: scale jitter so unseen-scene boxes at "
+                         "novel apparent sizes stay in-distribution")
     ap.add_argument("--seed", type=int, default=0,
                     help="training seed: init key, walk RNG, batch order, "
                          "augmentation draws (scene geometry seeds stay "
@@ -211,6 +215,32 @@ def main() -> None:
                 # horizontal flip + brightness/color jitter (the detector
                 # dataset family's stacks live in labeling/datasets.py;
                 # here GT masks are full-frame so the flip stays exact)
+                if args.augment_crop and rng.random() < 0.5:
+                    # random-resized-crop (zoom in): nearest resample of
+                    # rgb+masks, exact box transform, drop boxes that
+                    # leave the window or shrink to slivers
+                    h0, w0 = rgb.shape[:2]
+                    s = rng.uniform(0.55, 0.95)
+                    ch, cw = max(int(h0 * s), 8), max(int(w0 * s), 8)
+                    oy = int(rng.integers(0, h0 - ch + 1))
+                    ox = int(rng.integers(0, w0 - cw + 1))
+                    yi = oy + (np.arange(h0) * ch) // h0
+                    xi = ox + (np.arange(w0) * cw) // w0
+                    rgb = rgb[yi][:, xi]
+                    mk = np.asarray(det.masks)[:, yi][:, :, xi]
+                    bx = np.asarray(det.boxes, np.float32)
+                    sx, sy = w0 / cw, h0 / ch
+                    nb = np.stack([
+                        np.clip((bx[:, 0] - ox) * sx, 0, w0),
+                        np.clip((bx[:, 1] - oy) * sy, 0, h0),
+                        np.clip((bx[:, 2] - ox) * sx, 0, w0),
+                        np.clip((bx[:, 3] - oy) * sy, 0, h0)], axis=1)
+                    keep = ((nb[:, 2] - nb[:, 0] >= 4)
+                            & (nb[:, 3] - nb[:, 1] >= 4)
+                            & np.asarray(det.valid))
+                    det = det.replace(boxes=jnp.asarray(nb),
+                                      masks=jnp.asarray(mk),
+                                      valid=jnp.asarray(keep))
                 if rng.random() < 0.5:
                     w = rgb.shape[1]
                     rgb = np.ascontiguousarray(rgb[:, ::-1])
