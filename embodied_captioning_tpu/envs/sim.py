@@ -29,6 +29,7 @@ filter; ref: envs/sensors.py:101-234).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -281,6 +282,21 @@ def _tile_candidates(scene: Scene, origin, R, fx, fy, xc, yc,
     return jnp.minimum(cand_sorted, nb - 1), cand_valid, overflow
 
 
+def resolve_attr_mode(attr_mode, height: int, width: int) -> str:
+    """None -> the env-configurable default (`ECAP_RENDER_MODE`, read per
+    call like the other serving toggles; falls back to the culled mode's
+    base when the image is not divisible by its tile), else passthrough."""
+    if attr_mode is not None:
+        return attr_mode
+    mode = os.environ.get("ECAP_RENDER_MODE", "")
+    if mode:
+        base, tile, _ = _parse_cull(mode)
+        if tile and (height % tile or width % tile):
+            return base
+        return mode
+    return "onehot"
+
+
 def _parse_cull(attr_mode: str):
     """\"onehot@160x48\" -> (\"onehot\", 160, 48); no \"@\" -> (mode, 0, 0)."""
     if "@" not in attr_mode:
@@ -519,7 +535,7 @@ def render_batch(scenes, poses, height: int, width: int, hfov_deg: float,
 def render_batch_chunked(scenes, poses, height: int, width: int,
                          hfov_deg: float, max_depth: float = 15.0,
                          budget_bytes: int = 6 << 30,
-                         attr_mode: str = "onehot"):
+                         attr_mode: Optional[str] = None):
     """`render_batch` split into fixed-shape chunks that bound HBM.
 
     The slab test materializes ~[chunk, H, W, n_boxes] f32 intermediates
@@ -528,6 +544,7 @@ def render_batch_chunked(scenes, poses, height: int, width: int,
     chip). The chunk is the largest divisor of the batch whose estimate
     fits `budget_bytes`, so every chunk launch reuses one compiled shape.
     """
+    attr_mode = resolve_attr_mode(attr_mode, height, width)
     n = poses.shape[0]
     n_boxes = scenes.box_min.shape[-2]
     per_env = height * width * n_boxes * 20
@@ -671,7 +688,9 @@ class RaycastSim:
         pose = jnp.asarray(self.agent.camera_matrix(), jnp.float32)
         out = render(self.scene, pose, self.sensors.height,
                      self.sensors.width, self.sensors.hfov_deg,
-                     self.sensors.max_depth)
+                     self.sensors.max_depth,
+                     resolve_attr_mode(None, self.sensors.height,
+                                       self.sensors.width))
         return out
 
     def gt_detections(self, obs: Dict[str, jnp.ndarray],
