@@ -121,6 +121,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
     ap.add_argument("--head", default="ce")
     ap.add_argument("--split", default="scenes", choices=["scenes", "frames"],
                     help="test on unseen scenes (hard) or held-out frames "
@@ -194,7 +196,16 @@ def main() -> None:
     dcfg = cfg.detector
     size = dcfg.image_size
     params = DET.init_detector(jax.random.PRNGKey(args.seed), dcfg)
-    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
+    if args.lr_schedule == "cosine":
+        # warmup + cosine decay: the constant-lr rungs showed large
+        # seed-to-seed spread with late-training loss spikes (docs/BENCH.md
+        # repeat-seed table); decaying to lr/20 settles the endpoint
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, min(500, args.steps // 10), args.steps,
+            args.lr / 20)
+        opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
+    else:
+        opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
     opt_state = opt.init(params)
 
     def resize_frame(rgb):
