@@ -173,6 +173,20 @@ def test_render_tile_culled_exact():
             assert int(overflow) == 0
 
 
+def test_resolve_attr_mode(monkeypatch):
+    """ECAP_RENDER_MODE is read per call; culled modes fall back to their
+    base when the image size is not divisible by the tile."""
+    from embodied_captioning_tpu.envs.sim import resolve_attr_mode
+
+    monkeypatch.delenv("ECAP_RENDER_MODE", raising=False)
+    assert resolve_attr_mode(None, 1280, 1280) == "onehot"
+    assert resolve_attr_mode("gather", 1280, 1280) == "gather"
+    monkeypatch.setenv("ECAP_RENDER_MODE", "onehot@128x40")
+    assert resolve_attr_mode(None, 1280, 1280) == "onehot@128x40"
+    assert resolve_attr_mode(None, 256, 256) == "onehot"
+    assert resolve_attr_mode("onehot", 1280, 1280) == "onehot"
+
+
 def test_sim_render_and_gt():
     from embodied_captioning_tpu.config import SensorConfig, SimConfig
     from embodied_captioning_tpu.envs.sim import RaycastSim
