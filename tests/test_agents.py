@@ -183,7 +183,7 @@ def test_resolve_attr_mode(monkeypatch):
     assert resolve_attr_mode("gather", 1280, 1280) == "gather"
     monkeypatch.setenv("ECAP_RENDER_MODE", "onehot@128x40")
     assert resolve_attr_mode(None, 1280, 1280) == "onehot@128x40"
-    assert resolve_attr_mode(None, 256, 256) == "onehot"
+    assert resolve_attr_mode(None, 192, 192) == "onehot"  # 192 % 128 != 0
     assert resolve_attr_mode("onehot", 1280, 1280) == "onehot"
 
 
