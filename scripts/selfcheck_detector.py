@@ -134,6 +134,12 @@ def main() -> None:
                     help="add random-resized-crop (zoom 0.55-0.95) to "
                          "--augment: scale jitter so unseen-scene boxes at "
                          "novel apparent sizes stay in-distribution")
+    ap.add_argument("--device-train", action="store_true",
+                    help="keep the training corpus in HBM and run "
+                         "batch-gather + augmentation + train step as ONE "
+                         "jitted program (ops/augment.py). The host-side "
+                         "numpy augmentation loop serializes ~0.2 s/step on "
+                         "this 1-core host; on-device it is device-bound")
     ap.add_argument("--seed", type=int, default=0,
                     help="training seed: init key, walk RNG, batch order, "
                          "augmentation draws (scene geometry seeds stay "
@@ -343,15 +349,52 @@ def main() -> None:
     print(f"[selfcheck-det] mAP@50 before: {map_before:.4f}", flush=True)
     t0 = time.time()
     first = last = None
-    for s in range(args.steps):
-        idx = rng.choice(len(train_frames), args.batch, replace=False)
-        images, gt = batch_of(train_frames, idx, augment=args.augment)
-        params, opt_state, loss = step_fn(params, opt_state, images, gt)
-        loss = float(loss)
-        first = first if first is not None else loss
-        last = loss
-        if s % 50 == 0:
-            print(f"  step {s}: loss={loss:.3f}", flush=True)
+    if args.device_train:
+        # corpus -> HBM once; gather + augment + loss + update is one
+        # jitted program, loss fetched only at print points (the host-aug
+        # path round-trips numpy augmentation every step on 1 core)
+        from embodied_captioning_tpu.ops.augment import augment_batch
+
+        data_rgb = jnp.stack([jnp.asarray(f[0]) for f in train_frames])
+        data_det = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[f[1] for f in train_frames])
+        aug_kw = dict(crop=args.augment_crop, flip=True, jitter=True)
+
+        @jax.jit
+        def dev_step(params, opt_state, idx, key):
+            images = data_rgb[idx]
+            gt = jax.tree_util.tree_map(lambda x: x[idx], data_det)
+            if args.augment:
+                images, gt = augment_batch(key, images, gt, **aug_kw)
+            (loss, _), grads = jax.value_and_grad(
+                lambda p: DET.detector_loss(p, images, gt, dcfg,
+                                            head=args.head),
+                has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(args.seed + 7)
+        for s in range(args.steps):
+            idx = jnp.asarray(rng.choice(len(train_frames), args.batch,
+                                         replace=False))
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = dev_step(params, opt_state, idx, sub)
+            if s == 0 or s % 50 == 0 or s == args.steps - 1:
+                l = float(loss)
+                first = first if first is not None else l
+                last = l
+                if s % 50 == 0:
+                    print(f"  step {s}: loss={l:.3f}", flush=True)
+    else:
+        for s in range(args.steps):
+            idx = rng.choice(len(train_frames), args.batch, replace=False)
+            images, gt = batch_of(train_frames, idx, augment=args.augment)
+            params, opt_state, loss = step_fn(params, opt_state, images, gt)
+            loss = float(loss)
+            first = first if first is not None else loss
+            last = loss
+            if s % 50 == 0:
+                print(f"  step {s}: loss={loss:.3f}", flush=True)
     map_after = eval_map(params, test_frames)
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
