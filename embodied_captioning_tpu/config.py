@@ -226,6 +226,17 @@ class DetectorConfig:
     # 1024^2 frame); s2d hands XLA a dense [B,S/2,S/2,12] operand instead.
     stem_s2d: bool = False
     dtype: str = "bfloat16"
+    # detection head family: "rcnn" (FPN/RPN/ROI, the default serving
+    # stack) or "query" — a Mask2Former-class set predictor (learned
+    # queries + masked-attention transformer decoder over FPN scales,
+    # Hungarian-matched CE+BCE+dice set loss, NO anchors and NO NMS —
+    # fixed Q queries by construction, the TPU-natural formulation of the
+    # reference's actual detector, ref: utils/predictor_utils.py:210-240
+    # Mask2FormerForUniversalSegmentation)
+    family: str = "rcnn"
+    num_queries: int = 64
+    query_layers: int = 6       # masked-attention decoder layers
+    no_object_weight: float = 0.1
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:

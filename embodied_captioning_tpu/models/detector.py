@@ -113,6 +113,17 @@ NUM_ANCHORS = len(ANCHOR_RATIOS) * len(ANCHOR_SCALES)
 
 
 def init_detector(key, cfg: DetectorConfig) -> Params:
+    """Family dispatch: the FPN/RPN/ROI stack (default) or the
+    Mask2Former-class query head (`cfg.family="query"`,
+    models/query_detector.py) — both share the backbone+FPN schema."""
+    if cfg.family == "query":
+        from .query_detector import init_query_detector
+
+        return init_query_detector(key, cfg)
+    return init_rcnn_detector(key, cfg)
+
+
+def init_rcnn_detector(key, cfg: DetectorConfig) -> Params:
     w = cfg.backbone_width
     bottleneck = cfg.block == "bottleneck"
     expansion = 4 if bottleneck else 1
@@ -188,6 +199,8 @@ def fold_affine(params: Params, cfg: DetectorConfig) -> Params:
     """
     if cfg.norm != "affine":
         raise ValueError("fold_affine requires norm='affine'")
+    if cfg.family == "query":
+        raise ValueError("fold_affine supports the rcnn family only")
 
     def fold(c: Params, g: Params) -> Tuple[Params, Params]:
         from .quantize import QuantizedArray
@@ -467,6 +480,12 @@ def reinit_heads(params: Params, key, cfg: DetectorConfig) -> Params:
     pipelines.py:838-858)."""
     k1, k2, k3 = jax.random.split(key, 3)
     out = dict(params)
+    if cfg.family == "query":
+        d = cfg.fpn_dim
+        out["cls"] = dense_init(k1, d, cfg.num_classes + 1, scale=0.01)
+        out["mask_fc1"] = dense_init(k2, d, d)
+        out["mask_fc2"] = dense_init(k3, d, d)
+        return out
     out["cls"] = dense_init(k1, 1024, cfg.num_classes + 1, scale=0.01)
     out["box"] = dense_init(k2, 1024, 4, scale=0.001)
     out["mask_out"] = conv_init(k3, 1, cfg.fpn_dim, cfg.num_classes)
@@ -558,6 +577,10 @@ def forward(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
     copy; the reference's HF processor never re-rounds to uint8 either,
     ref: predictor_utils.py:308-379).
     """
+    if cfg.family == "query":
+        from .query_detector import forward_query
+
+        return forward_query(params, images_u8, cfg, with_masks=with_masks)
     images = images_u8.astype(jnp.float32) / 255.0
     inter = _intermediates(params, images, cfg)
 
@@ -619,6 +642,10 @@ def forward_mc(params: Params, images_u8: jnp.ndarray, rng, cfg: DetectorConfig,
     MonteCarloPredictor + enable_dropout): `samples` stochastic passes of the
     box head over shared proposals; returns per-proposal mean probs and
     predictive std (epistemic uncertainty)."""
+    if cfg.family == "query":
+        raise ValueError("forward_mc supports the rcnn family only (the "
+                         "reference's MC-dropout wraps its Mask R-CNN "
+                         "predictor, not Mask2Former)")
     images = images_u8.astype(jnp.float32) / 255.0
     fpn = backbone_fpn(params, images, cfg)
     obj, deltas = _rpn_head(params, fpn)
@@ -667,6 +694,10 @@ def detector_loss(params: Params, images_u8: jnp.ndarray, gt: Detections,
     Soft heads read GT `logits` (teacher soft targets) instead of hard
     classes (ref: roi_head_wrappers.py:184-364). Returns (total, aux dict).
     """
+    if cfg.family == "query":
+        from .query_detector import query_detector_loss
+
+        return query_detector_loss(params, images_u8, gt, cfg, head=head)
     images = images_u8.astype(jnp.float32) / 255.0
     inter = _intermediates(params, images, cfg, dropout_rng, dropout_rate,
                            gt_boxes=gt.boxes, gt_valid=gt.valid)
