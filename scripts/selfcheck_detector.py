@@ -134,6 +134,10 @@ def main() -> None:
                     help="add random-resized-crop (zoom 0.55-0.95) to "
                          "--augment: scale jitter so unseen-scene boxes at "
                          "novel apparent sizes stay in-distribution")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for an evaluation weight average "
+                         "(device-train path only; 0 disables). Reported "
+                         "as map50_after_ema alongside the raw number")
     ap.add_argument("--device-train", action="store_true",
                     help="keep the training corpus in HBM and run "
                          "batch-gather + augmentation + train step as ONE "
@@ -360,8 +364,12 @@ def main() -> None:
             lambda *xs: jnp.stack(xs), *[f[1] for f in train_frames])
         aug_kw = dict(crop=args.augment_crop, flip=True, jitter=True)
 
+        # the corpus must be an ARGUMENT, not a closure capture: captured
+        # device arrays become compile-time constants embedded in the HLO,
+        # and the axon remote-compile request then ships the whole ~GB
+        # corpus to the compiler (HTTP 413)
         @jax.jit
-        def dev_step(params, opt_state, idx, key):
+        def dev_step(params, ema_p, opt_state, idx, key, data_rgb, data_det):
             images = data_rgb[idx]
             gt = jax.tree_util.tree_map(lambda x: x[idx], data_det)
             if args.augment:
@@ -371,14 +379,21 @@ def main() -> None:
                                             head=args.head),
                 has_aux=True)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            params = optax.apply_updates(params, updates)
+            if args.ema > 0:
+                ema_p = jax.tree_util.tree_map(
+                    lambda e, p: e * args.ema + p * (1.0 - args.ema),
+                    ema_p, params)
+            return params, ema_p, opt_state, loss
 
         key = jax.random.PRNGKey(args.seed + 7)
+        ema_params = params
         for s in range(args.steps):
             idx = jnp.asarray(rng.choice(len(train_frames), args.batch,
                                          replace=False))
             key, sub = jax.random.split(key)
-            params, opt_state, loss = dev_step(params, opt_state, idx, sub)
+            params, ema_params, opt_state, loss = dev_step(
+                params, ema_params, opt_state, idx, sub, data_rgb, data_det)
             if s == 0 or s % 50 == 0 or s == args.steps - 1:
                 l = float(loss)
                 first = first if first is not None else l
@@ -396,10 +411,14 @@ def main() -> None:
             if s % 50 == 0:
                 print(f"  step {s}: loss={loss:.3f}", flush=True)
     map_after = eval_map(params, test_frames)
+    map_ema = (eval_map(ema_params, test_frames)
+               if args.device_train and args.ema > 0 else None)
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
         "seed": args.seed,
+        "map50_after_ema": (round(map_ema, 4) if map_ema is not None
+                            else None),
         "eval_sha": (corpus_checksum(test_frames)
                      if args.split == "scenes" else None),
         "frames": len(train_frames), "steps": args.steps,
