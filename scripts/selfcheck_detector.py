@@ -12,7 +12,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
+def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32,
+            skip_seeds=()):
+    """`skip_seeds` = (start, n): scene seeds in [start, start+n) are
+    remapped to start+n.. — used by the scenes split so a TRAINING pool
+    larger than the eval block's first seed can never include the fixed
+    eval scenes (<=start-scene runs are bit-identical with or without)."""
+    return _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk,
+                    skip_seeds)
+
+
+def _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk, skip_seeds):
     """Batched collection at DETECTOR scale: walk all sims on host first,
     then render (scene, pose) pairs in chunked `render_batch` launches;
     rgb/boxes/masks are resized to detector resolution ON DEVICE (masks to
@@ -32,7 +42,10 @@ def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32):
 
     sims, jobs = [], []
     for ep in range(episodes):
-        sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
+        seed = seed0 + ep
+        if skip_seeds and seed >= skip_seeds[0]:
+            seed += skip_seeds[1]
+        sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed)
         sims.append(sim)
         for _ in range(steps_per_ep):
             for _ in range(int(rng.integers(2, 6))):
@@ -178,7 +191,9 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     if args.split == "scenes":
-        train_frames = collect(cfg, args.episodes, 16, 0, rng)
+        train_frames = collect(cfg, args.episodes, 16, 0, rng,
+                               skip_seeds=(args.eval_seed,
+                                           args.eval_scenes))
         # unseen-scene eval on a FIXED corpus: its own RNG + scene seeds,
         # optionally cached to disk, so rung-to-rung deltas measure the
         # model, not the eval draw (with 2 shared-RNG scenes the mAP@50
