@@ -60,6 +60,8 @@ def init_query_detector(key, cfg: DetectorConfig) -> Params:
 
     if cfg.num_queries < cfg.max_detections:
         raise ValueError("num_queries must be >= max_detections")
+    if cfg.fpn_dim % _HEADS:
+        raise ValueError(f"fpn_dim must be divisible by {_HEADS} heads")
     kb, kq = jax.random.split(key)
     base = DET.init_rcnn_detector(kb, cfg)
     params: Params = {k: base[k] for k in _BACKBONE_KEYS}

@@ -49,3 +49,24 @@ def test_query_family_shapes_at_reference_scale():
         params_shape, jax.ShapeDtypeStruct((e, s, s, 3), jnp.uint8),
         gt_shapes)
     assert loss.shape == ()
+
+
+def test_query_family_inside_fused_perception():
+    """The fused perception program dispatches to the query head when the
+    config says so (detector -> crops -> captioner -> sbert all trace)."""
+    from embodied_captioning_tpu.perception import init_perception, perceive
+
+    cfg = load_config("tiny", overrides=[
+        "detector.family=query", "detector.fpn_dim=64",
+        "detector.num_queries=16", "detector.query_layers=2"])
+    params_shape = jax.eval_shape(
+        lambda k: init_perception(k, cfg), jax.random.PRNGKey(0))
+    assert "query_embed" in params_shape.detector
+    e, s = 2, cfg.sensors.height
+    out = jax.eval_shape(
+        lambda p, im, k: perceive(p, im, k, cfg), params_shape,
+        jax.ShapeDtypeStruct((e, s, s, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((2,), jnp.uint32))
+    n = cfg.detector.max_detections
+    assert out.detections.boxes.shape == (e, n, 4)
+    assert out.detections.embeddings.shape == (e, n, 384)
