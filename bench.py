@@ -13,7 +13,9 @@ into the R50-class 1024^2 detector), BENCH_BATCH (frames per launch,
 default 16), BENCH_ITERS (default 8), BENCH_CAPTION_SLOTS (captioned
 detections per frame, default 4 = the reference operating point; 0 =
 caption all padded slots), BENCH_FRAMES (sim = RaycastSim renders at
-sensor resolution, the default; noise = uint8 noise).
+sensor resolution, the default; noise = uint8 noise), BENCH_OVERRIDES
+(space-separated config dotlist appended after the built-in overrides,
+e.g. "detector.family=query" to bench the Mask2Former-class head).
 """
 
 import json
@@ -75,7 +77,8 @@ def main() -> None:
         overrides=[f"runtime.caption_slots_per_frame={caption_slots}",
                    # decode every selected slot: throughput must measure the
                    # full caption compute, not the bench detector's hit rate
-                   "runtime.caption_invalid_slots=true"])
+                   "runtime.caption_invalid_slots=true",
+                   *os.environ.get("BENCH_OVERRIDES", "").split()])
     params = init_perception(jax.random.PRNGKey(0), cfg)
     # int8 weights by default — the serving configuration (the reference
     # serves BLIP-2 with load_in_8bit=True as well); BENCH_INT8=0 disables
