@@ -237,6 +237,12 @@ class DetectorConfig:
     num_queries: int = 64
     query_layers: int = 6       # masked-attention decoder layers
     no_object_weight: float = 0.1
+    # one-to-many auxiliary matching for the NON-final decoder layers:
+    # each GT supervises its k lowest-cost queries (0 = Hungarian
+    # everywhere). Dense aux targets damp the Hungarian assignment churn
+    # that dominates seed-to-seed variance at small corpus scale
+    # (Group/Hybrid-DETR-style); the final layer always stays one-to-one.
+    query_aux_topk: int = 0
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:

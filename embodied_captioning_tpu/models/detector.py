@@ -635,6 +635,55 @@ def full_masks(det: Detections, size: int, src_size: int = 0) -> jnp.ndarray:
         det.masks, det.boxes)
 
 
+def flip_detections(det: Detections, size: float) -> Detections:
+    """Mirror detections of a horizontally flipped image back into original
+    image coordinates: boxes get x -> size - x (ends swapped); ROI mask
+    crops live in box-local coordinates, so their content mirrors along
+    their own x axis. Class/score/logits are geometry-free."""
+    b = det.boxes
+    flipped = jnp.stack([size - b[..., 2], b[..., 1],
+                         size - b[..., 0], b[..., 3]], axis=-1)
+    flipped = flipped * det.valid[..., None]
+    masks = det.masks[..., ::-1] if det.masks is not None else None
+    return det.replace(boxes=flipped, masks=masks)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_masks"))
+def forward_tta(params: Params, images_u8: jnp.ndarray, cfg: DetectorConfig,
+                with_masks: bool = True) -> Detections:
+    """Horizontal-flip test-time augmentation: forward on the frame and its
+    mirror, un-mirror the second pass, and merge the union with one more
+    round of per-class NMS (union-NMS TTA). Evaluation-time only — the
+    serving path stays single-pass. Works for both detector families (the
+    merge runs on the padded Detections contract, not on internals).
+
+    The reference has no TTA; this is a quality knob the fixed-shape
+    formulation gets almost for free (the second pass reuses the same
+    compiled program on a reversed view)."""
+    det_a = forward(params, images_u8, cfg, with_masks=with_masks)
+    det_b = forward(params, images_u8[:, :, ::-1, :], cfg,
+                    with_masks=with_masks)
+    det_b = flip_detections(det_b, float(cfg.image_size))
+    cat = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=1), det_a, det_b)
+
+    def merge(d: Detections) -> Detections:
+        idx, keep = class_aware_nms_topk(d.boxes, d.scores, d.classes,
+                                         cfg.nms_iou_threshold,
+                                         cfg.max_detections, d.valid)
+        out = jax.tree_util.tree_map(lambda a: a[idx], d)
+        return out.replace(
+            boxes=out.boxes * keep[:, None],
+            classes=out.classes * keep,
+            scores=out.scores * keep,
+            logits=out.logits * keep[:, None],
+            valid=keep,
+            masks=(out.masks * keep[:, None, None]
+                   if out.masks is not None else None))
+
+    return jax.vmap(merge)(cat)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "samples"))
 def forward_mc(params: Params, images_u8: jnp.ndarray, rng, cfg: DetectorConfig,
                samples: int = 5, dropout_rate: float = 0.5):

@@ -60,6 +60,8 @@ def init_query_detector(key, cfg: DetectorConfig) -> Params:
 
     if cfg.num_queries < cfg.max_detections:
         raise ValueError("num_queries must be >= max_detections")
+    if not 0 <= cfg.query_aux_topk <= cfg.num_queries:
+        raise ValueError("query_aux_topk must be in [0, num_queries]")
     if cfg.fpn_dim % _HEADS:
         raise ValueError(f"fpn_dim must be divisible by {_HEADS} heads")
     kb, kq = jax.random.split(key)
@@ -167,12 +169,25 @@ def _decode(params: Params, images: jnp.ndarray, cfg: DetectorConfig
 
 def _set_loss_one(cls: jnp.ndarray, mlog: jnp.ndarray, gt_cls: jnp.ndarray,
                   gt_valid: jnp.ndarray, gm: jnp.ndarray, no_obj_w: float,
-                  num_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  num_classes: int, aux_topk: int = 0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One image: cls [Q, C+1], mlog [Q, Hm, Wm], gt_cls [G], gt_valid [G],
-    gm [G, Hm, Wm] in {0,1}. Returns (loss, matched-query indices [G])."""
-    qn = cls.shape[0]
+    gm [G, Hm, Wm] in {0,1}. Returns (loss, matched-query indices [G]).
+
+    ``aux_topk=0``: one-to-one Hungarian matching (the final layer — the
+    set-prediction contract; inference has no NMS, so duplicates must be
+    trained away). ``aux_topk=k>0``: one-to-MANY matching — each GT
+    supervises its k lowest-cost queries (Group/Hybrid-DETR-style dense
+    auxiliary supervision). Hungarian assignments churn between steps
+    early in training (the matched query flips whenever costs cross),
+    which is the dominant seed-to-seed variance source at small corpus
+    scale; the one-to-many auxiliary targets keep k queries per object
+    pulled toward it regardless of which one currently wins, so it is
+    used for the aux (non-final) decoder layers via
+    ``DetectorConfig.query_aux_topk``."""
+    qn, gn = cls.shape[0], gt_cls.shape[0]
     p = jax.nn.sigmoid(mlog.reshape(qn, -1))               # [Q, P]
-    g = gm.reshape(gm.shape[0], -1)                        # [G, P]
+    g = gm.reshape(gn, -1)                                 # [G, P]
     npix = p.shape[1]
     eps = 1e-6
     logp, log1p = jnp.log(p + eps), jnp.log(1.0 - p + eps)
@@ -184,31 +199,36 @@ def _set_loss_one(cls: jnp.ndarray, mlog: jnp.ndarray, gt_cls: jnp.ndarray,
     cost_cls = -probs[:, gt_cls].reshape(qn, -1)           # [Q, G]
     cost = _W_CLS * cost_cls + _W_BCE * cost_bce + _W_DICE * cost_dice
     cost = jnp.where(gt_valid[None, :], cost, 1e4)
-    rows, cols = assignment.hungarian_algorithm(cost)      # len G (Q >= G)
-    matched_q = rows[jnp.argsort(cols)]                    # query for gt g
-
-    # classification: matched valid queries get the GT class, everything
-    # else no-object (down-weighted)
-    tgt = jnp.full((qn,), num_classes, jnp.int32)
-    tgt = tgt.at[matched_q].set(
-        jnp.where(gt_valid, gt_cls, num_classes).astype(jnp.int32))
-    logprobs = jax.nn.log_softmax(cls, axis=-1)
-    w = jnp.where(tgt == num_classes, no_obj_w, 1.0)
-    ce = -(jnp.take_along_axis(logprobs, tgt[:, None], axis=1)[:, 0] * w)
-    ce = ce.sum() / jnp.maximum(w.sum(), 1.0)
-
-    # mask BCE + dice on matched valid pairs
-    pm = p[matched_q]                                      # [G, P]
-    bce = -(g * jnp.log(pm + eps)
-            + (1.0 - g) * jnp.log(1.0 - pm + eps)).mean(-1)
-    dice = 1.0 - (2.0 * (pm * g).sum(-1) + 1.0) / (
-        pm.sum(-1) + g.sum(-1) + 1.0)
-    nv = jnp.maximum(gt_valid.sum(), 1)
+    gidx = jnp.arange(gn)
     vmask = gt_valid.astype(jnp.float32)
-    loss = (_W_CLS * ce
-            + (_W_BCE * (bce * vmask).sum() + _W_DICE * (dice * vmask).sum())
-            / nv)
-    return loss, matched_q
+    if aux_topk == 0:
+        rows, cols = assignment.hungarian_algorithm(cost)  # len G (Q >= G)
+        matched_q = rows[jnp.argsort(cols)]                # query for gt g
+        w_assign = jnp.zeros((qn, gn), jnp.float32
+                             ).at[matched_q, gidx].set(vmask)
+    else:
+        # k lowest-cost queries per GT (selection only — no gradient)
+        _, topq = jax.lax.top_k(-jax.lax.stop_gradient(cost).T, aux_topk)
+        matched_q = topq[:, 0]
+        w_assign = jnp.zeros((qn, gn), jnp.float32
+                             ).at[topq, gidx[:, None]].add(1.0)
+        w_assign = w_assign * vmask[None, :]
+
+    # classification: assigned (query, gt) pairs get the GT class with
+    # weight 1 each; unassigned queries no-object (down-weighted)
+    logprobs = jax.nn.log_softmax(cls, axis=-1)
+    unassigned = (w_assign.sum(-1) == 0).astype(jnp.float32)  # [Q]
+    ce_pos = -(w_assign * logprobs[:, gt_cls]).sum()
+    ce_neg = -(logprobs[:, num_classes] * unassigned).sum() * no_obj_w
+    wsum = w_assign.sum() + no_obj_w * unassigned.sum()
+    ce = (ce_pos + ce_neg) / jnp.maximum(wsum, 1.0)
+
+    # mask BCE + dice on assigned pairs (the cost matrices ARE the
+    # per-pair mean losses — reuse them)
+    npairs = jnp.maximum(w_assign.sum(), 1.0)
+    mask_loss = (w_assign * (_W_BCE * cost_bce
+                             + _W_DICE * cost_dice)).sum() / npairs
+    return _W_CLS * ce + mask_loss, matched_q
 
 
 def query_detector_loss(params: Params, images_u8: jnp.ndarray,
@@ -232,11 +252,14 @@ def query_detector_loss(params: Params, images_u8: jnp.ndarray,
     gmask = jnp.transpose(gmask, (0, 3, 1, 2))             # [B, G, Hm, Wm]
 
     total = 0.0
-    for cls, mlog in preds:
+    for li, (cls, mlog) in enumerate(preds):
+        # final layer: one-to-one Hungarian (the inference contract);
+        # aux layers: optional one-to-many top-k (query_aux_topk > 0)
+        k = cfg.query_aux_topk if li < len(preds) - 1 else 0
         losses, _ = jax.vmap(functools.partial(
             _set_loss_one, no_obj_w=cfg.no_object_weight,
-            num_classes=cfg.num_classes))(cls, mlog, gt.classes, gt.valid,
-                                          gmask)
+            num_classes=cfg.num_classes,
+            aux_topk=k))(cls, mlog, gt.classes, gt.valid, gmask)
         total = total + losses.mean()
     total = total / len(preds)
     return total, {"total": total, "layers": jnp.asarray(len(preds))}

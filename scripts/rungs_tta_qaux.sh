@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-3 continuation arms, serialized on the shared chip:
+#   A) R50 protocol recipe with --tta  -> paired plain-vs-flip-TTA unseen
+#      mAP on the SAME trained weights (training variance cancels)
+#   B) query family with one-to-many aux matching (query_aux_topk=3),
+#      --tta as a free paired read on the same weights
+# Protocol otherwise identical to scripts/rungs_final.sh (512 de-leaked
+# scenes / 24k device-train steps / w48 / 128^2 / cosine / crop-aug / EMA,
+# fixed checksummed eval corpus).
+#   bash scripts/rungs_tta_qaux.sh [outfile] [arm: tta|qaux|both] [seeds..]
+set -u
+OUT="$(realpath -m "${1:-/tmp/rungs_tta_qaux.log}")"
+ARM="${2:-both}"
+shift 2 2>/dev/null || shift $#
+SEEDS=("${@}")
+[ ${#SEEDS[@]} -eq 0 ] && SEEDS=(0 1 2)
+cd "$(dirname "$0")/.."
+CACHE="/tmp/det_eval_corpus_128px.npz"
+
+run_rung() { # extra overrides as args
+  local seed="$1"; shift
+  timeout 4800 python scripts/selfcheck_detector.py \
+    --split scenes --batch 16 --device-train --augment --augment-crop \
+    --lr-schedule cosine --ema 0.999 --eval-cache "$CACHE" --tta \
+    --episodes 512 --steps 24000 --seed "$seed" \
+    detector.image_size=128 detector.backbone_width=48 "$@" \
+    >> "$OUT" 2>&1
+  echo "--- rc=$? $(date -u +%H:%M:%S)" >> "$OUT"
+}
+
+echo "rungs_tta_qaux start $(date -u) arm=$ARM seeds=${SEEDS[*]}" >> "$OUT"
+if [ "$ARM" = tta ] || [ "$ARM" = both ]; then
+  for S in "${SEEDS[@]}"; do
+    echo "=== arm=tta(r50) seed=$S $(date -u +%H:%M:%S) ===" >> "$OUT"
+    run_rung "$S"
+  done
+fi
+if [ "$ARM" = qaux ] || [ "$ARM" = both ]; then
+  for S in "${SEEDS[@]}"; do
+    echo "=== arm=qaux seed=$S $(date -u +%H:%M:%S) ===" >> "$OUT"
+    run_rung "$S" detector.family=query detector.query_aux_topk=3
+  done
+fi
+echo "rungs_tta_qaux done $(date -u)" >> "$OUT"

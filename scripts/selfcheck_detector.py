@@ -4,6 +4,7 @@ GT and measure mAP improving (the detection-side analog of
 selfcheck_training.py; validates the loss family end-to-end)."""
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -170,6 +171,10 @@ def main() -> None:
                          "shifts with --episodes/--seed (pre-round-3-final "
                          "rungs shared the training RNG and each evaluated "
                          "a different draw — docs/BENCH.md ladder spread)")
+    ap.add_argument("--tta", action="store_true",
+                    help="also report unseen-scene mAP with horizontal-flip "
+                         "test-time augmentation (paired on the same "
+                         "trained weights)")
     ap.add_argument("--eval-cache", default=None,
                     help="npz path: save the eval corpus on first run, load "
                          "it afterwards — repeat rungs then share literally "
@@ -310,11 +315,13 @@ def main() -> None:
 
     eval_cfg = _dc.replace(dcfg, score_threshold=0.05)
 
-    def eval_map(params, frames):
+    def eval_map(params, frames, tta=False):
+        fwd = (functools.partial(DET.forward_tta, with_masks=False) if tta
+               else functools.partial(DET.forward, with_masks=False))
         preds, gts = [], []
         for i in range(0, len(frames) - args.batch + 1, args.batch):
             images, gt = batch_of(frames, range(i, i + args.batch))
-            det = DET.forward(params, images, eval_cfg, with_masks=False)
+            det = fwd(params, images, eval_cfg)
             for b in range(images.shape[0]):
                 preds.append(Detections(
                     boxes=det.boxes[b], classes=det.classes[b],
@@ -428,12 +435,19 @@ def main() -> None:
     map_after = eval_map(params, test_frames)
     map_ema = (eval_map(ema_params, test_frames)
                if args.device_train and args.ema > 0 else None)
+    map_tta = eval_map(params, test_frames, tta=True) if args.tta else None
+    map_ema_tta = (eval_map(ema_params, test_frames, tta=True)
+                   if args.tta and map_ema is not None else None)
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
         "seed": args.seed,
         "map50_after_ema": (round(map_ema, 4) if map_ema is not None
                             else None),
+        "map50_after_tta": (round(map_tta, 4) if map_tta is not None
+                            else None),
+        "map50_after_ema_tta": (round(map_ema_tta, 4)
+                                if map_ema_tta is not None else None),
         "eval_sha": (corpus_checksum(test_frames)
                      if args.split == "scenes" else None),
         "frames": len(train_frames), "steps": args.steps,

@@ -133,3 +133,65 @@ def test_reinit_heads_query():
     # backbone untouched
     np.testing.assert_array_equal(np.asarray(out["stem"]["w"]),
                                   np.asarray(params["stem"]["w"]))
+
+
+def test_one_to_many_aux_matching():
+    # same crafted scenario as the Hungarian test: with aux_topk=2 every
+    # valid GT supervises its 2 lowest-cost queries; the best query per GT
+    # is still the obvious one, and the loss stays finite and comparable
+    q, g, hm, c = 10, 4, 16, 6
+    mlog = np.full((q, hm, hm), -8.0, np.float32)
+    gm = np.zeros((g, hm, hm), np.float32)
+    gm[0, 2:8, 2:8] = 1
+    gm[1, 10:14, 10:14] = 1
+    mlog[3, 2:8, 2:8] = 8.0
+    mlog[7, 10:14, 10:14] = 8.0
+    cls = np.zeros((q, c + 1), np.float32)
+    cls[3, 1] = 6.0
+    cls[7, 2] = 6.0
+    gt_cls = np.array([1, 2, 0, 0], np.int32)
+    valid = np.array([True, True, False, False])
+    loss_h, matched_h = _set_loss_one(
+        jnp.asarray(cls), jnp.asarray(mlog), jnp.asarray(gt_cls),
+        jnp.asarray(valid), jnp.asarray(gm), no_obj_w=0.1, num_classes=c)
+    loss_m, matched_m = _set_loss_one(
+        jnp.asarray(cls), jnp.asarray(mlog), jnp.asarray(gt_cls),
+        jnp.asarray(valid), jnp.asarray(gm), no_obj_w=0.1, num_classes=c,
+        aux_topk=2)
+    assert int(matched_m[0]) == 3 and int(matched_m[1]) == 7
+    assert np.isfinite(float(loss_m))
+    # the second-best queries are uniform-logit/empty-mask -> their added
+    # supervision raises the per-pair average above the Hungarian loss
+    assert float(loss_m) > float(loss_h)
+
+
+def test_one_to_many_training_decreases():
+    qcfg = dataclasses.replace(QCFG, query_aux_topk=3)
+    rng = np.random.default_rng(1)
+    imgs, gt = _gt_batch(rng, 4, 8, qcfg.image_size)
+    params = DET.init_detector(jax.random.PRNGKey(1), qcfg)
+    import optax
+
+    opt = optax.adam(3e-4)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: DET.detector_loss(p, imgs, gt, qcfg),
+            has_aux=True)(params)
+        upd, state = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    losses = [float(step(params, state)[2])]
+    for _ in range(40):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.75
+
+
+def test_query_aux_topk_guard():
+    bad = dataclasses.replace(QCFG, query_aux_topk=QCFG.num_queries + 1)
+    with pytest.raises(ValueError, match="query_aux_topk"):
+        DET.init_detector(jax.random.PRNGKey(0), bad)
