@@ -5,10 +5,13 @@
 #   B) query family with one-to-many aux matching (query_aux_topk=3),
 #      --tta as a free paired read on the same weights
 #   C) arm "768": the scaled 768-scene/36k-step recipe with --tta
+#   D) arm "wide": the protocol recipe evaluated PAIRED on the 8-scene
+#      protocol corpus AND a 24-scene wide corpus (seed block 100000) —
+#      separates eval-draw noise from training variance
 # Protocol otherwise identical to scripts/rungs_final.sh (512 de-leaked
 # scenes / 24k device-train steps / w48 / 128^2 / cosine / crop-aug / EMA,
 # fixed checksummed eval corpus).
-#   bash scripts/rungs_tta_qaux.sh [outfile] [arm: tta|qaux|768|both] [seeds..]
+#   bash scripts/rungs_tta_qaux.sh [outfile] [arm: tta|qaux|768|wide|both] [seeds..]
 set -u
 OUT="$(realpath -m "${1:-/tmp/rungs_tta_qaux.log}")"
 ARM="${2:-both}"
@@ -46,6 +49,13 @@ if [ "$ARM" = 768 ]; then
   for S in "${SEEDS[@]}"; do
     echo "=== arm=768sc36k+tta seed=$S $(date -u +%H:%M:%S) ===" >> "$OUT"
     run_rung "$S" 768 36000
+  done
+fi
+if [ "$ARM" = wide ]; then
+  for S in "${SEEDS[@]}"; do
+    echo "=== arm=wide-eval seed=$S $(date -u +%H:%M:%S) ===" >> "$OUT"
+    run_rung "$S" 512 24000 --eval-wide 24 \
+      --eval-wide-cache /tmp/det_eval_corpus_wide_128px.npz
   done
 fi
 echo "rungs_tta_qaux done $(date -u)" >> "$OUT"

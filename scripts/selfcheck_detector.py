@@ -179,6 +179,17 @@ def main() -> None:
                     help="npz path: save the eval corpus on first run, load "
                          "it afterwards — repeat rungs then share literally "
                          "identical eval bytes (checksum printed)")
+    ap.add_argument("--eval-wide", type=int, default=0,
+                    help="scenes for a SECOND, wider unseen-scene eval "
+                         "corpus evaluated paired on the same trained "
+                         "weights (0 = off). Measures how much of the "
+                         "per-seed spread is eval-draw noise vs training "
+                         "variance: the protocol corpus is only 8 scenes")
+    ap.add_argument("--eval-wide-seed", type=int, default=100000,
+                    help="scene-seed origin of the wide corpus; far above "
+                         "any training pool so it can never leak (asserted)")
+    ap.add_argument("--eval-wide-cache", default=None,
+                    help="npz cache for the wide corpus (like --eval-cache)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -195,6 +206,7 @@ def main() -> None:
     cfg = load_config(args.preset, overrides=list(args.overrides))
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
+    wide_frames = None
     if args.split == "scenes":
         train_frames = collect(cfg, args.episodes, 16, 0, rng,
                                skip_seeds=(args.eval_seed,
@@ -213,6 +225,25 @@ def main() -> None:
                 save_corpus(args.eval_cache, test_frames)
         print(f"[selfcheck-det] eval corpus {len(test_frames)} frames, "
               f"sha {corpus_checksum(test_frames)}", flush=True)
+        if args.eval_wide > 0:
+            # leak guard: training scene seeds reach at most
+            # episodes + eval_scenes (after the skip remap); the wide block
+            # must start strictly above that AND clear the primary block
+            assert args.eval_wide_seed > args.episodes + args.eval_scenes, \
+                "--eval-wide-seed inside the training seed range"
+            assert (args.eval_wide_seed >= args.eval_seed + args.eval_scenes
+                    or args.eval_wide_seed + args.eval_wide <= args.eval_seed)
+            if args.eval_wide_cache and os.path.exists(args.eval_wide_cache):
+                wide_frames = load_corpus(args.eval_wide_cache)
+            else:
+                wide_frames = collect(
+                    cfg, args.eval_wide, args.eval_ep_steps,
+                    args.eval_wide_seed,
+                    np.random.default_rng(args.eval_wide_seed))
+                if args.eval_wide_cache:
+                    save_corpus(args.eval_wide_cache, wide_frames)
+            print(f"[selfcheck-det] wide eval corpus {len(wide_frames)} "
+                  f"frames, sha {corpus_checksum(wide_frames)}", flush=True)
     else:  # held-out frames of the same scenes
         all_frames = collect(cfg, args.episodes, 20, 0, rng)
         order = rng.permutation(len(all_frames))
@@ -438,6 +469,19 @@ def main() -> None:
     map_tta = eval_map(params, test_frames, tta=True) if args.tta else None
     map_ema_tta = (eval_map(ema_params, test_frames, tta=True)
                    if args.tta and map_ema is not None else None)
+    wide = {}
+    if wide_frames is not None:
+        wide["map50_wide"] = round(eval_map(params, wide_frames), 4)
+        if args.device_train and args.ema > 0:
+            wide["map50_wide_ema"] = round(eval_map(ema_params, wide_frames),
+                                           4)
+        if args.tta:
+            wide["map50_wide_tta"] = round(
+                eval_map(params, wide_frames, tta=True), 4)
+            if args.device_train and args.ema > 0:
+                wide["map50_wide_ema_tta"] = round(
+                    eval_map(ema_params, wide_frames, tta=True), 4)
+        wide["eval_wide_sha"] = corpus_checksum(wide_frames)
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
@@ -458,6 +502,7 @@ def main() -> None:
         "mask_iou": round(float(mask_iou), 4),
         "mask_matched": mask_n,
         "train_seconds": round(time.time() - t0, 1),
+        **wide,
     }))
 
 
