@@ -79,7 +79,39 @@ def main() -> None:
                    # full caption compute, not the bench detector's hit rate
                    "runtime.caption_invalid_slots=true",
                    *os.environ.get("BENCH_OVERRIDES", "").split()])
+    # BENCH_DETECTOR_WEIGHTS: a TRAINED detector artifact (pickle from
+    # scripts/selfcheck_detector.py --save). The artifact's serving config
+    # (norm=affine if calibrated, approx_topk, serving proposal counts,
+    # trained image_size) replaces cfg.detector so the SAME weights that
+    # carry the unseen-scene mAP number also carry this fps number —
+    # BENCH_OVERRIDES still wins afterwards for explicit experiments.
+    artifact = None
+    art_path = os.environ.get("BENCH_DETECTOR_WEIGHTS", "")
+    if art_path:
+        import pickle
+
+        from embodied_captioning_tpu.config import merge, apply_dotlist
+
+        with open(art_path, "rb") as fh:
+            artifact = pickle.load(fh)
+        cfg = merge(cfg, {"detector": artifact["serving_cfg"]})
+        user_ov = os.environ.get("BENCH_OVERRIDES", "").split()
+        if user_ov:
+            cfg = apply_dotlist(cfg, user_ov)
     params = init_perception(jax.random.PRNGKey(0), cfg)
+    if artifact is not None:
+        from embodied_captioning_tpu.models import detector as DET
+
+        dp = artifact.get("affine")
+        if dp is not None and cfg.detector.norm == "affine":
+            dp = DET.fold_affine(
+                jax.tree_util.tree_map(jnp.asarray, dp), cfg.detector)
+        else:
+            best = (artifact.get("ema")
+                    if artifact.get("best") == "ema" else None)
+            dp = jax.tree_util.tree_map(
+                jnp.asarray, best or artifact["params"])
+        params = params._replace(detector=dp)
     # int8 weights by default — the serving configuration (the reference
     # serves BLIP-2 with load_in_8bit=True as well); BENCH_INT8=0 disables
     if os.environ.get("BENCH_INT8", "1") == "1":
@@ -166,7 +198,54 @@ def main() -> None:
     # it — VectorEnv.step_async dispatches frame t+1's render while this
     # thread fences frame t's perception (north-star pipeline). Loop fps ~
     # perception fps means the sim never stalls the loop.
-    if os.environ.get("BENCH_MODE", "") == "loop":
+    # BENCH_LOOP_SIM=host: the loop fed by HOST-RESIDENT pre-rendered
+    # frames — the operating point of the reference's host-side habitat
+    # workers, whose render costs host CPU but zero device time. The
+    # worker thread serves the next batch (memcpy) while this thread
+    # fences perception, so loop fps ~= perception fps proves the
+    # north-star overlap (docs/BENCH.md argued it; this measures it).
+    # Default loop mode keeps the on-device RaycastSim (render shares the
+    # one chip — the honest single-chip number).
+    if (os.environ.get("BENCH_MODE", "") == "loop"
+            and os.environ.get("BENCH_LOOP_SIM", "device") == "host"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from embodied_captioning_tpu.envs.sim import RaycastSim
+
+        pool_np = []
+        for r in range(4):  # 4 distinct pose sets, rotated through
+            fr = []
+            for i in range(batch):
+                sim = RaycastSim(cfg.sim, cfg.sensors, seed=100 + i)
+                for _ in range(2 + 3 * r + (i % 4)):
+                    sim.step(1 + ((i + r) % 3))
+                fr.append(np.asarray(sim.observe()["rgb"]).astype(np.uint8))
+            pool_np.append(np.stack(fr))
+        worker = ThreadPoolExecutor(max_workers=1)
+
+        def produce(i):
+            # host batch + its H2D upload both happen on the worker thread,
+            # overlapped with the caller's perception fence (a real serving
+            # input pipeline stages uploads the same way)
+            return jax.device_put(pool_np[i % len(pool_np)])
+
+        obs_dev = produce(0)
+        t0 = time.perf_counter()
+        loop_iters = max(4, iters)
+        for i in range(loop_iters):
+            key, sub = jax.random.split(key)
+            _, cs = step(params, obs_dev, sub)
+            fut = worker.submit(produce, i + 1)  # "sim" t+1 in flight
+            _ = float(cs)                        # fence perception t
+            obs_dev = fut.result()
+        loop_dt = time.perf_counter() - t0
+        worker.shutdown(wait=False)
+        loop_fps = batch * loop_iters / loop_dt
+        detail["loop_fps"] = round(loop_fps, 2)
+        detail["loop_sim"] = "host"
+        detail["loop_over_perception"] = round(loop_fps / fps, 3)
+        fps = loop_fps
+    elif os.environ.get("BENCH_MODE", "") == "loop":
         from embodied_captioning_tpu.envs.vector_env import VectorEnv
         from embodied_captioning_tpu.config import apply_dotlist
 

@@ -140,6 +140,20 @@ class BaseTrainer:
                 caps = self.perceiver.captions(result)[i]
                 nd["captions"] = np.array(caps, dtype=object)
                 payload["bbs"] = np.array({"instances": nd}, dtype=object)
+            if (getattr(self.cfg.runtime, "save_gt_obs", False)
+                    and "instances" in obs):
+                # GT detection sensor output (ref: envs/sensors.py:101-234
+                # 'bbsgt'): persistent per-scene instance ids — the id
+                # source the reference's consensus matching uses
+                from ..envs.sensors import get_sensor
+
+                gt = get_sensor("object_detector_gt")(
+                    env, {k: obs[k][i] for k in ("instances", "classes",
+                                                 "depth", "rgb")
+                          if k in obs})
+                gd = gt.to_numpy_dict()
+                gd["object_ids"] = np.asarray(gt.object_ids)
+                payload["bbsgt"] = np.array({"instances": gd}, dtype=object)
             dir_i = os.path.join(self.obs_dir, f"env{i}")
             self.saved_paths += save_obs(dir_i, snap["episode_id"],
                                          payload, snap["step"])

@@ -351,6 +351,11 @@ class RuntimeConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 7
     obs_dir: Optional[str] = None  # where to save npz observations
+    # also record the GT detection sensor ('bbsgt') per step — the
+    # reference's object_detector_gt sensor writes these into the store
+    # (ref: envs/sensors.py:101-234); GTPipeline and the consensus
+    # labelers' id matching consume them (ref: utils/matching.py:17-43)
+    save_gt_obs: bool = False
     checkpoint_dir: Optional[str] = None
     save_periodic: int = 100
     log_interval: int = 10

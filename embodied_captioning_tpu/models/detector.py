@@ -99,7 +99,12 @@ def affine_norm(p: Params, x: jnp.ndarray, groups: int = 8,
     return (x.astype(jnp.float32) * p["g"] + p["b"]).astype(x.dtype)
 
 
+_NORM_OVERRIDE = None  # calibration hook (see calibrate_affine)
+
+
 def norm_fn(cfg: DetectorConfig):
+    if _NORM_OVERRIDE is not None:
+        return _NORM_OVERRIDE
     return affine_norm if cfg.norm == "affine" else groupnorm
 
 
@@ -232,6 +237,126 @@ def fold_affine(params: Params, cfg: DetectorConfig) -> Params:
         fold(c, g) for c, g in zip(params["mask_convs"],
                                    params["mask_gns"])]))
     return p
+
+
+def _norm_sites(params: Params):
+    """Norm-site key paths in FORWARD CALL ORDER (stem, stages in order
+    with g1/g2[/g3] per block, then the 4 mask-head GNs) — must mirror
+    backbone_fpn/_mask_head exactly; calibrate_affine zips recorded
+    statistics against this order."""
+    sites = [("stem_gn",)]
+    for si, blocks in enumerate(params["stages"]):
+        for bi, blk in enumerate(blocks):
+            sites.append(("stages", si, bi, "g1"))
+            sites.append(("stages", si, bi, "g2"))
+            if "c3" in blk:
+                sites.append(("stages", si, bi, "g3"))
+    for i in range(len(params["mask_gns"])):
+        sites.append(("mask_gns", i))
+    return sites
+
+
+def calibrate_affine(params: Params, image_batches, cfg: DetectorConfig,
+                     eps: float = 1e-5) -> Params:
+    """GroupNorm-trained params -> frozen per-channel affine params
+    (FrozenBatchNorm semantics: detectron2's R50 serves with data
+    statistics baked into scale/bias, ref: utils/predictor_utils.py R50
+    path / detectron2 FrozenBatchNorm2d). Runs the full forward over the
+    calibration batches with a recording norm hook, pools each GN site's
+    per-group moments over the whole calibration set, and rewrites g/b so
+    `affine_norm` reproduces GroupNorm under those frozen statistics:
+
+        scale_c = g_c / sqrt(var_group(c) + eps)
+        bias_c  = b_c - g_c * mean_group(c) / sqrt(var_group(c) + eps)
+
+    The result serves under DetectorConfig(norm="affine") and composes
+    with fold_affine + quantize_params (serving order: calibrate -> fold
+    -> quantize). Exact when the calibration statistics equal the
+    per-image GN statistics (tested); approximate otherwise — exactly the
+    BN->FrozenBN trade every detectron2 serving model already makes."""
+    import numpy as np
+
+    global _NORM_OVERRIDE
+    if cfg.family == "query":
+        raise ValueError("calibrate_affine supports the rcnn family only")
+    if cfg.norm != "gn":
+        raise ValueError("calibrate_affine converts gn-trained params")
+
+    trace: list = []
+
+    def rec(p, x, groups: int = 8, eps_: float = 1e-5):
+        xf = x.astype(jnp.float32)
+        red = tuple(range(xf.ndim - 1))  # all but channels
+        trace.append(jnp.stack([jnp.mean(xf, red), jnp.mean(xf * xf, red)]))
+        return groupnorm(p, x, groups, eps_)
+
+    raw_forward = forward.__wrapped__  # unjitted (jit would cache past rec)
+    sites = _norm_sites(params)
+    n_mask = len(params["mask_gns"])
+    n_backbone = len(sites) - n_mask
+
+    def run(p, images):
+        # backbone/FPN sites record batched (no vmap in backbone_fpn);
+        # the mask head lives under vmap(finalize) inside forward, whose
+        # batch tracers cannot escape — so detections come from an
+        # un-recorded forward pass and the mask head is replayed per image
+        # with the SAME refined boxes/classes the serving path feeds it
+        global _NORM_OVERRIDE
+        trace.clear()
+        images_f = images.astype(jnp.float32) / 255.0
+        fpn0 = backbone_fpn(p, images_f, cfg)[0]
+        saved, _NORM_OVERRIDE = _NORM_OVERRIDE, None
+        try:
+            det = raw_forward(p, images, cfg, with_masks=False)
+        finally:
+            _NORM_OVERRIDE = saved
+        for b in range(images.shape[0]):
+            _mask_head(p, fpn0[b], det.boxes[b], det.classes[b], cfg)
+        return list(trace)
+
+    run_j = jax.jit(run)
+    _NORM_OVERRIDE = rec
+    try:
+        pooled = None
+        n = 0
+        for images in image_batches:
+            raw = [np.asarray(t, np.float64) for t in run_j(params, images)]
+            nimg = (len(raw) - n_backbone) // n_mask
+            out = raw[:n_backbone] + [
+                np.mean([raw[n_backbone + i * n_mask + m]
+                         for i in range(nimg)], axis=0)
+                for m in range(n_mask)]
+            pooled = (out if pooled is None
+                      else [a + b for a, b in zip(pooled, out)])
+            n += 1
+    finally:
+        _NORM_OVERRIDE = None
+    pooled = [s / n for s in pooled]
+
+    assert len(sites) == len(pooled), (len(sites), len(pooled))
+
+    def get(tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node
+
+    new_params = jax.tree_util.tree_map(lambda x: x, params)  # deep copy
+    for path, stat in zip(sites, pooled):
+        site = get(new_params, path)
+        g = np.asarray(site["g"], np.float64)
+        b = np.asarray(site["b"], np.float64)
+        c = g.shape[0]
+        ng = min(8, c)  # groupnorm's default grouping
+        mean_c, meansq_c = stat[0], stat[1]
+        mu_g = mean_c.reshape(ng, c // ng).mean(axis=1)
+        var_g = meansq_c.reshape(ng, c // ng).mean(axis=1) - mu_g ** 2
+        inv = 1.0 / np.sqrt(np.maximum(var_g, 0.0) + eps)
+        mu_c = np.repeat(mu_g, c // ng)
+        inv_c = np.repeat(inv, c // ng)
+        site["g"] = jnp.asarray(g * inv_c, jnp.float32)
+        site["b"] = jnp.asarray(b - g * mu_c * inv_c, jnp.float32)
+    return new_params
 
 
 # ---------------------------------------------------------------------------

@@ -82,12 +82,26 @@ def main() -> None:
             jparams, jnp.asarray(img)[None], jax.random.PRNGKey(0), cfg)
         out["smoke_caption"] = tok.decode(np.asarray(toks)[0])
         out["smoke_tokens"] = int(lengths[0])
-        try:  # torch-side parity only when open_clip is installed
-            import open_clip  # type: ignore # noqa: F401
+        # torch-side parity EXECUTES here (no open_clip needed): a plain-
+        # torch structural replica is rebuilt at the checkpoint's own
+        # dimensions, loaded from the same state dict, and teacher-forced
+        # against the ported JAX model (tools/torch_replica.py)
+        from embodied_captioning_tpu.tools.convert_weights import (
+            load_torch_checkpoint,
+        )
+        from embodied_captioning_tpu.tools.torch_replica import (
+            coca_parity_report,
+        )
 
-            out["parity"] = "open_clip present — add a manual comparison run"
-        except ImportError:
-            out["parity"] = "skipped (open_clip not installed)"
+        state = load_torch_checkpoint(args.checkpoint,
+                                      allow_pickle=args.allow_pickle)
+        # teacher-force the smoke image against the generated prefix plus
+        # a fixed probe prefix (generation may stop at 1 token on blank
+        # smoke images)
+        probe = np.asarray(toks)[:, : max(2, int(lengths[0]))]
+        out["parity"] = coca_parity_report(state, params, cfg, img[None],
+                                           probe)
+        assert out["parity"]["teacher_forced_corr"] > 0.999, out["parity"]
     else:
         params, cfg, tok = P.port_sbert(args.checkpoint, args.tokenizer,
                                         allow_pickle=args.allow_pickle)

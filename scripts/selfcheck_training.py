@@ -101,6 +101,20 @@ def main() -> None:
     ap.add_argument("--speculative", action="store_true",
                     help="also time speculative vs greedy decode on the "
                          "trained model (exactness + fenced latency)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init key + batch order). Scene "
+                         "collection keys on its own seeds, so repeat-seed "
+                         "runs measure training variance on identical "
+                         "corpora — the detector protocol's discipline")
+    ap.add_argument("--eval-seed", type=int, default=1000,
+                    help="scene-seed origin of the UNSEEN-scene eval crops "
+                         "(train scenes use seeds 0.., so >= 1000 cannot "
+                         "leak)")
+    ap.add_argument("--eval-scenes", type=int, default=3)
+    ap.add_argument("--eval-cache", default=None,
+                    help="npz path: save the eval crop corpus on first "
+                         "run, load afterwards — repeat-seed rungs then "
+                         "evaluate literally identical bytes (sha printed)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -122,21 +136,38 @@ def main() -> None:
     cfg = load_config(args.preset, overrides=list(args.overrides))
     t0 = time.time()
     tr_crops, tr_caps, _ = collect(cfg, 6, 12, 0, args.train_crops)
-    te_crops, te_caps, te_cls = collect(cfg, 3, 8, 1000, args.test_crops)
+    if args.eval_cache and os.path.exists(args.eval_cache):
+        z = np.load(args.eval_cache, allow_pickle=False)
+        te_crops = list(z["crops"])
+        te_caps = [str(s) for s in z["caps"]]
+        te_cls = [int(c) for c in z["classes"]]
+    else:
+        te_crops, te_caps, te_cls = collect(
+            cfg, args.eval_scenes, 8, args.eval_seed, args.test_crops)
+        if args.eval_cache:
+            np.savez_compressed(
+                args.eval_cache, crops=np.stack(te_crops),
+                caps=np.asarray(te_caps), classes=np.asarray(te_cls))
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.stack(te_crops)))
+    h.update("|".join(te_caps).encode())
+    eval_sha = h.hexdigest()[:16]
     print(f"[selfcheck] {len(tr_crops)} train / {len(te_crops)} test crops "
-          f"({time.time() - t0:.0f}s)", flush=True)
+          f"({time.time() - t0:.0f}s) eval_sha {eval_sha}", flush=True)
     if len(tr_crops) < args.batch or not te_crops:
         print(json.dumps({"error": "not enough crops"}))
         return
 
     ccfg = cfg.captioner
     tok = default_tokenizer(ccfg.text.vocab_size)
-    params = init_captioner(jax.random.PRNGKey(0), ccfg)
+    params = init_captioner(jax.random.PRNGKey(args.seed), ccfg)
     state = create_train_state(params, lr=args.lr)
     tokens = tok.encode_batch(tr_caps, ccfg.text.context_length)
     images = np.stack(tr_crops)
     n = len(images)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     t0 = time.time()
     first = last = None
     step_times = []
@@ -221,6 +252,7 @@ def main() -> None:
 
     print(json.dumps({
         "train_crops": len(tr_crops), "test_crops": len(te_crops),
+        "seed": args.seed, "eval_sha": eval_sha,
         "preset": args.preset, "batch": args.batch,
         "step_ms_median": round(step_ms, 1),
         "hbm_peak_gb": hbm_peak_gb, "hbm_limit_gb": hbm_limit_gb,

@@ -213,3 +213,59 @@ def test_stem_s2d_exact():
                                   np.asarray(d_b.boxes))
     np.testing.assert_array_equal(np.asarray(d_a.valid),
                                   np.asarray(d_b.valid))
+
+
+def test_calibrate_affine_single_image_exact():
+    """Calibrating on a single image makes the frozen affine statistics
+    EQUAL GroupNorm's per-image statistics, so the affine forward must
+    reproduce the GN forward on that image (by induction through the
+    norm sites; bf16-stream tolerance). This pins calibrate_affine's
+    site ordering AND the moment math."""
+    params = DET.init_detector(jax.random.PRNGKey(7), BCFG)
+    img = jnp.asarray(np.random.default_rng(7).integers(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    cal = DET.calibrate_affine(params, [img], BCFG)
+    cfg_aff = dataclasses.replace(BCFG, norm="affine")
+    d_gn = DET.forward(params, img, BCFG)
+    d_aff = DET.forward(cal, img, cfg_aff)
+    assert (np.asarray(d_gn.valid) == np.asarray(d_aff.valid)).all()
+    v = np.asarray(d_gn.valid)[0]
+    if v.any():
+        assert (np.asarray(d_gn.classes)[0][v]
+                == np.asarray(d_aff.classes)[0][v]).all()
+        np.testing.assert_allclose(np.asarray(d_gn.scores)[0][v],
+                                   np.asarray(d_aff.scores)[0][v], atol=0.05)
+        np.testing.assert_allclose(np.asarray(d_gn.boxes)[0][v],
+                                   np.asarray(d_aff.boxes)[0][v], atol=2.0)
+    # FPN features match closely (layerwise induction holds end to end)
+    f_gn = DET.backbone_fpn(params, img.astype(jnp.float32) / 255.0, BCFG)
+    f_aff = DET.backbone_fpn(cal, img.astype(jnp.float32) / 255.0, cfg_aff)
+    for a, b in zip(f_gn, f_aff):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() < 0.06 * scale
+    # and the serving composition calibrate -> fold -> int8 stays sane
+    from embodied_captioning_tpu.models.quantize import quantize_params
+
+    served = quantize_params(DET.fold_affine(cal, cfg_aff), min_size=64)
+    d_srv = DET.forward(served, img, cfg_aff)
+    assert np.isfinite(np.asarray(d_srv.scores)).all()
+
+
+def test_calibrate_affine_pooled_batches():
+    """Pooled multi-batch calibration produces a usable artifact whose
+    detections correlate with the GN model's on fresh images."""
+    params = DET.init_detector(jax.random.PRNGKey(8), BCFG)
+    rng = np.random.default_rng(8)
+    batches = [jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3))
+                           .astype(np.uint8)) for _ in range(3)]
+    cal = DET.calibrate_affine(params, batches, BCFG)
+    cfg_aff = dataclasses.replace(BCFG, norm="affine")
+    test_img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3))
+                           .astype(np.uint8))
+    d_gn = DET.forward(params, test_img, BCFG)
+    d_aff = DET.forward(cal, test_img, cfg_aff)
+    assert np.isfinite(np.asarray(d_aff.scores)).all()
+    # score fields live on the same scale (no blow-up from bad stats)
+    assert (np.abs(np.asarray(d_aff.scores) - np.asarray(d_gn.scores)).mean()
+            < 0.5)
