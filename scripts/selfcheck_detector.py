@@ -102,7 +102,10 @@ def _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk, skip_seeds):
 
         return jax.lax.map(per_frame, (scenes, poses))
 
+    import time as _time
+
     frames = []
+    t0 = _time.time()
     for i in range(0, len(jobs), chunk):
         part = jobs[i:i + chunk]
         scenes = jax.tree_util.tree_map(
@@ -114,6 +117,10 @@ def _collect(cfg, episodes, steps_per_ep, seed0, rng, chunk, skip_seeds):
         for b in range(len(part)):
             frames.append((rgb[b],
                            jax.tree_util.tree_map(lambda x: x[b], dets)))
+        if i // chunk % 32 == 31:
+            rate = len(frames) / (_time.time() - t0)
+            print(f"  [collect] {len(frames)}/{len(jobs)} frames "
+                  f"({rate:.1f}/s)", flush=True)
     return frames
 
 
@@ -233,6 +240,12 @@ def main() -> None:
                          "(8x smaller; at 256^2 x 512 scenes the uint8 "
                          "masks alone are ~8.6 GB). Unpacked on device "
                          "after the batch gather — exact")
+    ap.add_argument("--scan-steps", type=int, default=1,
+                    help="fuse K train steps into ONE device launch via "
+                         "lax.scan (device-train path). Per-launch tunnel "
+                         "RPC latency dominates the 70 ms/step observed at "
+                         "the serving config; K=50 makes training "
+                         "device-bound again")
     ap.add_argument("--train-cache", default=None,
                     help="npz path for the TRAINING corpus: first run "
                          "collects and saves, later seeds load identical "
@@ -518,20 +531,48 @@ def main() -> None:
                     ema_p, params)
             return params, ema_p, opt_state, loss
 
+        @jax.jit
+        def dev_scan(params, ema_p, opt_state, idxs, keys, data_rgb,
+                     data_det):
+            def body(carry, xs):
+                p, e, o = carry
+                idx, k = xs
+                p, e, o, loss = dev_step.__wrapped__(p, e, o, idx, k,
+                                                     data_rgb, data_det)
+                return (p, e, o), loss
+
+            (params, ema_p, opt_state), losses = jax.lax.scan(
+                body, (params, ema_p, opt_state), (idxs, keys))
+            return params, ema_p, opt_state, losses
+
         key = jax.random.PRNGKey(args.seed + 7)
         ema_params = params
-        for s in range(args.steps):
-            idx = jnp.asarray(rng.choice(len(train_frames), args.batch,
-                                         replace=False))
-            key, sub = jax.random.split(key)
-            params, ema_params, opt_state, loss = dev_step(
-                params, ema_params, opt_state, idx, sub, data_rgb, data_det)
-            if s == 0 or s % 50 == 0 or s == args.steps - 1:
-                l = float(loss)
-                first = first if first is not None else l
+        k_scan = max(1, args.scan_steps)
+        s = 0
+        while s < args.steps:
+            k = min(k_scan, args.steps - s)
+            if k == 1:
+                idx = jnp.asarray(rng.choice(len(train_frames), args.batch,
+                                             replace=False))
+                key, sub = jax.random.split(key)
+                params, ema_params, opt_state, loss = dev_step(
+                    params, ema_params, opt_state, idx, sub, data_rgb,
+                    data_det)
+                losses = loss[None] if hasattr(loss, "shape") else [loss]
+            else:
+                idxs = jnp.asarray(np.stack([
+                    rng.choice(len(train_frames), args.batch, replace=False)
+                    for _ in range(k)]))
+                key, *subs = jax.random.split(key, k + 1)
+                params, ema_params, opt_state, losses = dev_scan(
+                    params, ema_params, opt_state, idxs, jnp.stack(subs),
+                    data_rgb, data_det)
+            if s == 0 or (s // 50) != ((s + k) // 50) or s + k >= args.steps:
+                l = float(losses[-1])
+                first = first if first is not None else float(losses[0])
                 last = l
-                if s % 50 == 0:
-                    print(f"  step {s}: loss={l:.3f}", flush=True)
+                print(f"  step {s + k - 1}: loss={l:.3f}", flush=True)
+            s += k
     else:
         for s in range(args.steps):
             idx = rng.choice(len(train_frames), args.batch, replace=False)
