@@ -87,6 +87,19 @@ def main() -> None:
     # BENCH_OVERRIDES still wins afterwards for explicit experiments.
     artifact = None
     art_path = os.environ.get("BENCH_DETECTOR_WEIGHTS", "")
+    if art_path in ("none", "0"):
+        art_path = ""
+    elif not art_path:
+        # default: the committed trained serving artifact, so the headline
+        # fps and the docs' unseen-scene mAP come from the SAME weights
+        # (scripts/export_serving_artifact.py). BENCH_DETECTOR_WEIGHTS=none
+        # restores the random-weight workload demo.
+        default_art = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "embodied_captioning_tpu", "models", "data",
+            "det_serving_256.pkl")
+        if os.path.exists(default_art):
+            art_path = default_art
     if art_path:
         import pickle
 
@@ -102,15 +115,18 @@ def main() -> None:
     if artifact is not None:
         from embodied_captioning_tpu.models import detector as DET
 
-        dp = artifact.get("affine")
-        if dp is not None and cfg.detector.norm == "affine":
-            dp = DET.fold_affine(
-                jax.tree_util.tree_map(jnp.asarray, dp), cfg.detector)
+        if "served" in artifact:  # compact export: pre-folded + int8
+            dp = jax.tree_util.tree_map(jnp.asarray, artifact["served"])
         else:
-            best = (artifact.get("ema")
-                    if artifact.get("best") == "ema" else None)
-            dp = jax.tree_util.tree_map(
-                jnp.asarray, best or artifact["params"])
+            dp = artifact.get("affine")
+            if dp is not None and cfg.detector.norm == "affine":
+                dp = DET.fold_affine(
+                    jax.tree_util.tree_map(jnp.asarray, dp), cfg.detector)
+            else:
+                best = (artifact.get("ema")
+                        if artifact.get("best") == "ema" else None)
+                dp = jax.tree_util.tree_map(
+                    jnp.asarray, best or artifact["params"])
         params = params._replace(detector=dp)
     # int8 weights by default — the serving configuration (the reference
     # serves BLIP-2 with load_in_8bit=True as well); BENCH_INT8=0 disables
@@ -193,6 +209,10 @@ def main() -> None:
         "p50_ms_per_frame": round(p50_ms, 2),
         "device": str(jax.devices()[0]),
     }
+    if artifact is not None:
+        detail["detector_weights"] = os.path.basename(art_path)
+        if artifact.get("metrics"):
+            detail["detector_quality"] = artifact["metrics"]
 
     # BENCH_MODE=loop: the double-buffered agent loop with the simulator in
     # it — VectorEnv.step_async dispatches frame t+1's render while this

@@ -141,10 +141,15 @@ def load_corpus(path):
     from embodied_captioning_tpu.ops.detections import Detections
 
     z = np.load(path)
-    return [(z["rgb"][i], Detections(
-        boxes=z["boxes"][i], classes=z["classes"][i], scores=z["scores"][i],
-        logits=z["logits"][i], valid=z["valid"][i], masks=z["masks"][i]))
-        for i in range(z["rgb"].shape[0])]
+    # materialize each key ONCE: NpzFile re-decompresses the whole member
+    # on every [] access, which turns a per-frame comprehension into
+    # O(frames) full decompressions of multi-GB arrays
+    a = {k: z[k] for k in ("rgb", "boxes", "classes", "scores", "logits",
+                           "valid", "masks")}
+    return [(a["rgb"][i], Detections(
+        boxes=a["boxes"][i], classes=a["classes"][i], scores=a["scores"][i],
+        logits=a["logits"][i], valid=a["valid"][i], masks=a["masks"][i]))
+        for i in range(a["rgb"].shape[0])]
 
 
 def corpus_checksum(frames):
@@ -619,6 +624,15 @@ def main() -> None:
             eval_map(best_p, test_frames, cfg_=s_exact), 4)
         serving["map50_serving_approx"] = round(
             eval_map(best_p, test_frames, cfg_=s_approx), 4)
+        # GN-norm int8 serving variant: at sub-512^2 inputs the GroupNorm
+        # passes are a small fraction of the fused program, so serving GN
+        # weights directly (quantized, approx top-k) can be the best
+        # quality/fps artifact — measured alongside the affine transform
+        from embodied_captioning_tpu.models.quantize import quantize_params
+
+        serving["map50_gn_int8"] = round(
+            eval_map(quantize_params(best_p, min_size=64), test_frames,
+                     cfg_=s_approx), 4)
     affine_art = None
     if args.calibrate:
         from embodied_captioning_tpu.models.quantize import quantize_params
