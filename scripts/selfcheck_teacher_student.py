@@ -147,8 +147,8 @@ def main() -> None:
                       # semantic_map consensus must fuse the whole room
                       "map": {"grid": (256, 64, 256), "max_objects": 128}})
     dcfg = cfg.detector
-    teacher = jax.tree_util.tree_map(
-        jnp.asarray, art.get("ema") or art["params"])
+    best = art.get("ema") if art.get("best") == "ema" else None
+    teacher = jax.tree_util.tree_map(jnp.asarray, best or art["params"])
     rng = np.random.default_rng(args.seed)
     size = dcfg.image_size
 
@@ -280,13 +280,13 @@ def main() -> None:
                       flush=True)
         return params
 
-    def clone_samples():
+    def clone_samples(subset=None):
         return [Sample(
             image=s.image, boxes=s.boxes.copy(), classes=s.classes.copy(),
             logits=s.logits.copy(), masks=s.masks, valid=s.valid.copy(),
             scores=(s.scores.copy() if s.scores is not None else None),
             object_ids=s.object_ids.copy(), episode=s.episode, step=s.step,
-            depth=s.depth, pose=s.pose) for s in samples]
+            depth=s.depth, pose=s.pose) for s in (subset or samples)]
 
     # consensus stages never call predict(), so no Perceiver is needed —
     # a truthy sentinel skips the base class's eager construction
@@ -305,11 +305,25 @@ def main() -> None:
             labeler = SoftConsensusLabeler(cfg, perceiver=_NO_PERCEIVER)
             head = "soft"
         elif mode == "semantic_map":
-            labeler = SemanticMapConsensusLabeler(cfg, perceiver=_NO_PERCEIVER)
+            labeler = None  # per-episode below
             head = "ce"
         else:
             raise ValueError(mode)
-        pseudo = labeler.get_pseudo_labels(clone_samples())
+        if mode == "semantic_map":
+            # one full-size voxel map per episode: fuse + raytrace each
+            # episode's frames in turn and FREE the map before the next —
+            # 128 concurrent 256x64x256 maps exhaust the 16 GB chip
+            pseudo = []
+            by_ep = {}
+            for s_ in samples:
+                by_ep.setdefault(s_.episode, []).append(s_)
+            for ep in sorted(by_ep):
+                lab = SemanticMapConsensusLabeler(cfg,
+                                                  perceiver=_NO_PERCEIVER)
+                pseudo += lab.get_pseudo_labels(clone_samples(by_ep[ep]))
+                lab.global_maps.clear()
+        else:
+            pseudo = labeler.get_pseudo_labels(clone_samples())
         pseudo = [p for p in pseudo if p.valid.any()]
         if not pseudo:
             results[f"student_{mode}_map50"] = None
