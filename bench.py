@@ -265,6 +265,42 @@ def main() -> None:
         detail["loop_sim"] = "host"
         detail["loop_over_perception"] = round(loop_fps / fps, 3)
         fps = loop_fps
+    elif (os.environ.get("BENCH_MODE", "") == "loop"
+            and int(os.environ.get("BENCH_LOOP_FUSE", "0")) > 0):
+        # Scan-fused loop: K env+perception steps per device launch, ONE
+        # fence per window (envs/device_loop.py). This is the
+        # fence-tolerant design answer to the tunnel's per-RPC latency
+        # drift (round-4 loop regression): a window of K steps costs one
+        # RPC instead of 2K, so loop fps tracks device compute, not link
+        # latency. Same per-step work as the unfused loop (agent step +
+        # raycast render + full perception).
+        from embodied_captioning_tpu.envs.device_loop import (
+            make_action_plan, rollout_perception, states_from_sims)
+        from embodied_captioning_tpu.envs.sim import RaycastSim
+
+        fuse = int(os.environ["BENCH_LOOP_FUSE"])
+        sims = [RaycastSim(cfg.sim, cfg.sensors, seed=100 + i)
+                for i in range(batch)]
+        scenes, lstate = states_from_sims(sims)
+        actions = jnp.asarray(make_action_plan(fuse, batch))
+        key, sub = jax.random.split(key)
+        lstate, cs, _ = rollout_perception(params, scenes, lstate, actions,
+                                           sub, cfg)
+        _ = float(cs)  # warm/compile fence
+        windows = max(2, iters)
+        t0 = time.perf_counter()
+        for w in range(windows):
+            key, sub = jax.random.split(key)
+            lstate, cs, _ = rollout_perception(params, scenes, lstate,
+                                               actions, sub, cfg)
+            _ = float(cs)  # one fence per K-step window
+        loop_dt = time.perf_counter() - t0
+        loop_fps = batch * fuse * windows / loop_dt
+        detail["loop_fps"] = round(loop_fps, 2)
+        detail["loop_fused_steps"] = fuse
+        detail["loop_windows"] = windows
+        detail["loop_over_perception"] = round(loop_fps / fps, 3)
+        fps = loop_fps
     elif os.environ.get("BENCH_MODE", "") == "loop":
         from embodied_captioning_tpu.envs.vector_env import VectorEnv
         from embodied_captioning_tpu.config import apply_dotlist
