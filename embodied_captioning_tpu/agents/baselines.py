@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -186,6 +187,66 @@ class BaseTrainer:
 
     def rewards(self) -> np.ndarray:
         return np.asarray([env.get_reward() for env in self.envs.envs])
+
+    # -- scan-fused stepping ------------------------------------------------
+    def fused_window(self, window: int) -> np.ndarray:
+        """Run `window` env+perception+fusion steps as ONE device launch
+        (envs/device_loop.rollout_fused) instead of `window` fenced
+        iterations — the fence-tolerant loop (one RPC per window vs 2K;
+        the tunnel's per-RPC latency drifts by day, CLAUDE.md).
+
+        Semantics match the unfused loop (tests/test_device_loop.py proves
+        reward parity): the controller (`self.actions`) reads only host
+        state, so the window's action plan is computed by shadow-stepping
+        the host sims WITHOUT rendering (env.step_state — the device agent
+        step is bit-parity with it), then the device executes the same
+        plan with perception + voxel fusion fused under `lax.scan`. After
+        the window the device pose is copied back over the host shadow so
+        f32-vs-f64 drift cannot accumulate across windows.
+
+        Constraint: a `done` (episode end) must land on the window
+        boundary — callers pick window | episode_steps. Mid-window resets
+        would need the unfused path.
+
+        Returns the per-env done mask for the window.
+        """
+        from ..envs.device_loop import rollout_fused, states_from_sims
+
+        e = self.envs.num_envs
+        scenes, state0 = states_from_sims([env.sim for env in self.envs.envs])
+        maps0 = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[env.map_state
+                                         for env in self.envs.envs])
+        plan = np.zeros((window, e), np.int32)
+        win_done = np.zeros(e, bool)
+        for k in range(window):
+            acts = self.actions(None)
+            plan[k] = acts
+            for i, env in enumerate(self.envs.envs):
+                _, d, _ = env.step_state(int(acts[i]))
+                win_done[i] |= d
+            assert not (win_done.any() and k < window - 1), (
+                "episode end mid-window: choose window | episode_steps")
+        self.perceiver._rng, sub = jax.random.split(self.perceiver._rng)
+        state1, maps1, _, collided = rollout_fused(
+            self.perceiver.params, scenes, state0, maps0,
+            jnp.asarray(plan), sub, self.cfg)
+        xs = np.asarray(state1.x)
+        zs = np.asarray(state1.z)
+        yaws = np.asarray(state1.yaw)
+        last_hit = np.asarray(collided[-1])
+        for i, env in enumerate(self.envs.envs):
+            env.map_state = jax.tree_util.tree_map(lambda a, j=i: a[j], maps1)
+            if win_done[i]:
+                env.reset()  # fresh scene+map; device pose is stale
+                self.on_episode_reset(i)
+            else:
+                env.sim.agent.x = float(xs[i])
+                env.sim.agent.z = float(zs[i])
+                env.sim.agent.yaw = float(yaws[i])
+                env._collision = bool(last_hit[i])
+        self._step += window
+        return win_done
 
 
 @register_trainer("randombaseline")

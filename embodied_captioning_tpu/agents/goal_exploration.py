@@ -169,12 +169,24 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
         return sorted(self.saved_paths)
 
     def train(self, num_updates: int = 4,
-              decisions_per_update: Optional[int] = None) -> List[Dict]:
+              decisions_per_update: Optional[int] = None,
+              fused: bool = False) -> List[Dict]:
         """PPO training: a global decision every `num_global_steps` env
         steps; a PPO update every `decisions_per_update` decisions
-        (ref: goal_exploration.py:783-1010)."""
+        (ref: goal_exploration.py:783-1010).
+
+        fused=True runs each window's env+perception+fusion steps as ONE
+        device launch (BaseTrainer.fused_window) — ~an order of magnitude
+        more env steps per wall-second under tunnel per-RPC latency, which
+        is what makes reference-scale PPO budgets (thousands of env steps,
+        ref: gibson_goal_exploration.yaml:15,201-203) reachable on this
+        rig. Requires num_global_steps | episode_steps; skips obs
+        recording inside windows (training runs don't record)."""
         cfg = self.cfg
         window = cfg.ppo.num_global_steps
+        if fused:
+            assert cfg.sim.episode_steps % window == 0, (
+                "fused training needs num_global_steps | episode_steps")
         horizon = decisions_per_update or 8
         storage = RolloutStorage(
             horizon, self.envs.num_envs, self.pcfg.map_size,
@@ -193,17 +205,20 @@ class GoalExplorationTrainer(_GoalDirectedTrainer):
                         sub, storage.maps[storage.t],
                         storage.orientation[storage.t])
                     self._goals_from_actions(np.asarray(a))
-                    win_done = np.zeros(self.envs.num_envs, bool)
-                    for _ in range(window):
-                        result = self.perceive_and_fuse(obs)
-                        acts = self.actions(obs)
-                        self.envs.step_async(acts)
-                        self.save_step_obs(obs, result)
-                        obs, _, dones, infos = self.envs.step_wait()
-                        win_done |= np.asarray(dones)
-                        for i in np.flatnonzero(np.asarray(dones)):
-                            self.on_episode_reset(int(i))
-                        self._step += 1
+                    if fused:
+                        win_done = self.fused_window(window)
+                    else:
+                        win_done = np.zeros(self.envs.num_envs, bool)
+                        for _ in range(window):
+                            result = self.perceive_and_fuse(obs)
+                            acts = self.actions(obs)
+                            self.envs.step_async(acts)
+                            self.save_step_obs(obs, result)
+                            obs, _, dones, infos = self.envs.step_wait()
+                            win_done |= np.asarray(dones)
+                            for i in np.flatnonzero(np.asarray(dones)):
+                                self.on_episode_reset(int(i))
+                            self._step += 1
                     rewards = self._window_rewards()
                     # episode boundaries: GAE must not bootstrap across a
                     # finished episode (mask 0 for windows that hit done —

@@ -208,8 +208,9 @@ def rollout_fused(params: PerceptionParams, scenes: Scene, state: LoopState,
             else:
                 from ..ops.image import resize_bilinear
 
-                depth_m = resize_bilinear(depth, det.masks.shape[-2],
-                                          det.masks.shape[-1])
+                depth_m = resize_bilinear(
+                    depth[..., None], det.masks.shape[-2],
+                    det.masks.shape[-1])[..., 0]
         else:
             depth_m = depth
 

@@ -14,9 +14,13 @@ Arms (both: large preset, int8, 4 caption slots, device RaycastSim loop):
   r4artifact the committed det_serving_256.pkl serving config + weights
             (the exact round-4 loop workload)
 
-Per round and arm this measures (a) pipelined perception fps (8 launches,
-one fence) and (b) the double-buffered loop fps (fence per iteration), so
-loop_over_perception is computed within the same minute for both arms.
+The two arms share ONE VectorEnv (identical 1280^2 sensors) and ONE
+captioner/sbert param set (identical init key) — only the detector params +
+serving config differ, which keeps both stacks resident inside the 16 GB
+chip. Per round and arm this measures (a) pipelined perception fps
+(8 launches, one fence) and (b) the double-buffered loop fps (fence per
+iteration), so loop_over_perception is computed within the same minute for
+both arms.
 """
 
 import argparse
@@ -27,55 +31,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def build_arm(name, art_path, batch, caption_slots):
-    import jax
-    import jax.numpy as jnp
-
-    from embodied_captioning_tpu.config import load_config, merge
-    from embodied_captioning_tpu.models.quantize import quantize_params
-    from embodied_captioning_tpu.perception import init_perception, perceive
-
-    cfg = load_config("large", overrides=[
-        f"runtime.caption_slots_per_frame={caption_slots}",
-        "runtime.caption_invalid_slots=true",
-        f"runtime.num_envs={batch}",
-    ])
-    artifact = None
-    if art_path:
-        with open(art_path, "rb") as fh:
-            artifact = pickle.load(fh)
-        cfg = merge(cfg, {"detector": artifact["serving_cfg"]})
-    params = init_perception(jax.random.PRNGKey(0), cfg)
-    if artifact is not None:
-        from embodied_captioning_tpu.models import detector as DET
-
-        if "served" in artifact:
-            dp = jax.tree_util.tree_map(jnp.asarray, artifact["served"])
-        else:
-            dp = artifact.get("affine")
-            if dp is not None and cfg.detector.norm == "affine":
-                dp = DET.fold_affine(
-                    jax.tree_util.tree_map(jnp.asarray, dp), cfg.detector)
-            else:
-                best = (artifact.get("ema")
-                        if artifact.get("best") == "ema" else None)
-                dp = jax.tree_util.tree_map(
-                    jnp.asarray, best or artifact["params"])
-        params = params._replace(detector=dp)
-    params = quantize_params(params)
-
-    @jax.jit
-    def step(params, images, key):
-        r = perceive(params, images, key, cfg)
-        checksum = (jnp.sum(r.detections.boxes)
-                    + jnp.sum(r.detections.scores)
-                    + jnp.sum(r.caption_tokens)
-                    + jnp.sum(r.detections.embeddings))
-        return checksum
-
-    return {"name": name, "cfg": cfg, "params": params, "step": step}
 
 
 def main() -> None:
@@ -90,37 +45,76 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from embodied_captioning_tpu.config import load_config, merge
     from embodied_captioning_tpu.envs.vector_env import VectorEnv
+    from embodied_captioning_tpu.models import detector as DET
+    from embodied_captioning_tpu.models.quantize import quantize_params
+    from embodied_captioning_tpu.perception import init_perception, perceive
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    art = os.path.join(root, "embodied_captioning_tpu", "models", "data",
-                       "det_serving_256.pkl")
+    art_path = os.path.join(root, "embodied_captioning_tpu", "models",
+                            "data", "det_serving_256.pkl")
+
+    base_over = ["runtime.caption_slots_per_frame=4",
+                 "runtime.caption_invalid_slots=true",
+                 f"runtime.num_envs={args.batch}"]
+    cfg_a = load_config("large", overrides=base_over)
+    with open(art_path, "rb") as fh:
+        artifact = pickle.load(fh)
+    cfg_b = merge(cfg_a, {"detector": artifact["serving_cfg"]})
+
+    # ONE param init; arm B swaps only the detector
+    params_a = quantize_params(init_perception(jax.random.PRNGKey(0), cfg_a))
+    if "served" in artifact:
+        det_b = jax.tree_util.tree_map(jnp.asarray, artifact["served"])
+    else:
+        det_b = artifact.get("affine")
+        if det_b is not None and cfg_b.detector.norm == "affine":
+            det_b = DET.fold_affine(
+                jax.tree_util.tree_map(jnp.asarray, det_b), cfg_b.detector)
+        else:
+            best = (artifact.get("ema")
+                    if artifact.get("best") == "ema" else None)
+            det_b = jax.tree_util.tree_map(
+                jnp.asarray, best or artifact["params"])
+    params_b = quantize_params(params_a._replace(detector=det_b))
+
+    def make_step(cfg):
+        @jax.jit
+        def step(params, images, key):
+            r = perceive(params, images, key, cfg)
+            return (jnp.sum(r.detections.boxes) + jnp.sum(r.detections.scores)
+                    + jnp.sum(r.caption_tokens)
+                    + jnp.sum(r.detections.embeddings))
+        return step
+
     arms = [
-        build_arm("r3knobs", None, args.batch, 4),
-        build_arm("r4artifact", art, args.batch, 4),
+        {"name": "r3knobs", "cfg": cfg_a, "params": params_a,
+         "step": make_step(cfg_a)},
+        {"name": "r4artifact", "cfg": cfg_b, "params": params_b,
+         "step": make_step(cfg_b)},
     ]
 
+    envs = VectorEnv(cfg_a)  # shared: sensors identical across arms
+    obs = envs.observe()
     key = jax.random.PRNGKey(1)
     for arm in arms:
-        arm["envs"] = VectorEnv(arm["cfg"])
-        obs = arm["envs"].observe()
-        arm["obs"] = obs
         t0 = time.perf_counter()
         cs = arm["step"](arm["params"], jnp.asarray(obs["rgb"], jnp.uint8),
                          key)
         _ = float(cs)
         print(f"[ab] {arm['name']} perception warm "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
-        arm["envs"].step_async([1] * args.batch)
-        arm["obs"], *_ = arm["envs"].step_wait()
         arm["perception_fps"] = []
         arm["loop_fps"] = []
+    envs.step_async([1] * args.batch)
+    obs, *_ = envs.step_wait()
 
     for rnd in range(args.rounds):
         for arm in arms:
             # (a) pipelined perception throughput (the bench.py headline
             # protocol: issue every launch, then fence all checksums)
-            img = jnp.asarray(arm["obs"]["rgb"], jnp.uint8)
+            img = jnp.asarray(obs["rgb"], jnp.uint8)
             t0 = time.perf_counter()
             sums = []
             for i in range(args.iters):
@@ -136,20 +130,19 @@ def main() -> None:
             for i in range(args.iters):
                 key, sub = jax.random.split(key)
                 cs = arm["step"](arm["params"],
-                                 jnp.asarray(arm["obs"]["rgb"], jnp.uint8),
-                                 sub)
-                arm["envs"].step_async([1 + (i % 3)] * args.batch)
+                                 jnp.asarray(obs["rgb"], jnp.uint8), sub)
+                envs.step_async([1 + (i % 3)] * args.batch)
                 _ = float(cs)
-                arm["obs"], *_ = arm["envs"].step_wait()
+                obs, *_ = envs.step_wait()
             dt = time.perf_counter() - t0
             l_fps = args.batch * args.iters / dt
             arm["loop_fps"].append(round(l_fps, 2))
             print(f"[ab] round {rnd} {arm['name']}: perception "
                   f"{p_fps:.1f} fps, loop {l_fps:.1f} fps", flush=True)
 
+    envs.close()
     out = {"batch": args.batch, "iters": args.iters, "rounds": args.rounds}
     for arm in arms:
-        arm["envs"].close()
         lf = np.asarray(arm["loop_fps"])
         pf = np.asarray(arm["perception_fps"])
         out[arm["name"]] = {

@@ -87,6 +87,14 @@ def main() -> None:
     ap.add_argument("--eval-steps", type=int, default=120)
     ap.add_argument("--eval-scenes", type=int, default=2,
                     help="eval envs (one fixed scene seed each)")
+    ap.add_argument("--fused", action="store_true",
+                    help="scan-fused training windows (one launch per "
+                         "num_global_steps window) — reference-scale env "
+                         "budgets under tunnel RPC latency (VERDICT r4 #8)")
+    ap.add_argument("--entropy", default="",
+                    help="comma list of entropy coefficients: train one "
+                         "PPO arm per value per seed (collapse-breaking "
+                         "sweep; '' = config default only)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -143,40 +151,52 @@ def main() -> None:
                "arms": {}}
     seeds = [int(s) for s in args.seeds.split(",")]
 
-    # --- PPO arm: train per seed (fresh scenes), evaluate on eval scenes --
-    ppo_rows = []
-    for seed in seeds:
-        t0 = time.time()
-        tcfg = dataclasses.replace(
-            cfg,
-            sim=dataclasses.replace(cfg.sim, scene_seed=3000 + 100 * seed),
-            runtime=dataclasses.replace(cfg.runtime, seed=seed,
-                                        obs_dir=None))
-        tr = get_trainer("goalexplorationbaseline-v0")(
-            tcfg, perceiver=make_perceiver(tcfg))
-        # record the per-window training rewards the rollouts actually saw
-        reward_trace = []
-        orig_rewards = tr._window_rewards
+    # --- PPO arms: train per (seed, entropy), evaluate on eval scenes -----
+    entropies = ([float(x) for x in args.entropy.split(",") if x]
+                 or [cfg.ppo.entropy_coef])
+    for ent in entropies:
+        ppo_rows = []
+        arm_name = ("ppo" if len(entropies) == 1 and ent == cfg.ppo.entropy_coef
+                    else f"ppo_ent{ent:g}")
+        for seed in seeds:
+            t0 = time.time()
+            tcfg = dataclasses.replace(
+                cfg,
+                sim=dataclasses.replace(cfg.sim,
+                                        scene_seed=3000 + 100 * seed),
+                ppo=dataclasses.replace(cfg.ppo, entropy_coef=ent),
+                runtime=dataclasses.replace(cfg.runtime, seed=seed,
+                                            obs_dir=None))
+            tr = get_trainer("goalexplorationbaseline-v0")(
+                tcfg, perceiver=make_perceiver(tcfg))
+            # record per-window training rewards the rollouts actually saw
+            reward_trace = []
+            orig_rewards = tr._window_rewards
 
-        def traced():
-            r = orig_rewards()
-            reward_trace.append(float(np.mean(r)))
-            return r
+            def traced():
+                r = orig_rewards()
+                reward_trace.append(float(np.mean(r)))
+                return r
 
-        tr._window_rewards = traced
-        tr.train(num_updates=args.ppo_updates,
-                 decisions_per_update=args.decisions_per_update)
-        row = evaluate("goalexplorationbaseline-v0", seed,
-                       ppo_state=tr.ppo_state)
-        row["train_seconds"] = round(time.time() - t0, 1)
-        q = max(1, len(reward_trace) // 4)
-        row["train_reward_first_quarter"] = round(
-            float(np.mean(reward_trace[:q])), 5)
-        row["train_reward_last_quarter"] = round(
-            float(np.mean(reward_trace[-q:])), 5)
-        ppo_rows.append(row)
-        print(f"[rl] ppo seed {seed}: {json.dumps(row)}", flush=True)
-    results["arms"]["ppo"] = ppo_rows
+            tr._window_rewards = traced
+            tr.train(num_updates=args.ppo_updates,
+                     decisions_per_update=args.decisions_per_update,
+                     fused=args.fused)
+            row = evaluate("goalexplorationbaseline-v0", seed,
+                           ppo_state=tr.ppo_state)
+            row["train_seconds"] = round(time.time() - t0, 1)
+            row["env_steps"] = (args.ppo_updates * args.decisions_per_update
+                                * cfg.ppo.num_global_steps
+                                * cfg.runtime.num_envs)
+            q = max(1, len(reward_trace) // 4)
+            row["train_reward_first_quarter"] = round(
+                float(np.mean(reward_trace[:q])), 5)
+            row["train_reward_last_quarter"] = round(
+                float(np.mean(reward_trace[-q:])), 5)
+            ppo_rows.append(row)
+            print(f"[rl] {arm_name} seed {seed}: {json.dumps(row)}",
+                  flush=True)
+        results["arms"][arm_name] = ppo_rows
 
     # --- classical baselines (same eval scenes, seeded control RNGs) ------
     for name, key in (("randomgoalsbaseline", "random_goals"),
@@ -199,7 +219,10 @@ def main() -> None:
         summary[arm] = {"reward_mean": m_r, "reward_std": s_r,
                         "area_mean": m_a, "area_std": s_a}
     results["summary"] = summary
-    ppo_r = summary["ppo"]["reward_mean"]
+    ppo_arms = [k for k in summary if k.startswith("ppo")]
+    best = max(ppo_arms, key=lambda k: summary[k]["reward_mean"])
+    ppo_r = summary[best]["reward_mean"]
+    results["best_ppo_arm"] = best
     results["ppo_beats_random"] = bool(
         ppo_r > summary["random_goals"]["reward_mean"])
     results["ppo_beats_frontier"] = bool(

@@ -84,6 +84,30 @@ def test_goalexploration_recurrent_gru_train():
     assert not np.allclose(tr._rnn, before)  # GRU state advanced
 
 
+def test_goalexploration_fused_train():
+    """Scan-fused PPO training windows (BaseTrainer.fused_window): one
+    device launch per num_global_steps window, host sims shadow-stepped for
+    the action plan and re-synced from the device pose after."""
+    cfg = load_config("tiny", overrides=[
+        "runtime.num_envs=2", "sensors.height=48", "sensors.width=48",
+        "sim.scene_size=6.0", "sim.num_objects=4", "sim.episode_steps=8",
+        "map.voxel_size=0.1", "ppo.num_global_steps=2", "ppo.ppo_epoch=1",
+        "ppo.num_mini_batch=2", "runtime.caption_slots_per_frame=2",
+        "detector.score_threshold=0.2",
+    ])
+    tr = get_trainer("goalexplorationbaseline-v0")(cfg)
+    metrics = tr.train(num_updates=1, decisions_per_update=2, fused=True)
+    assert len(metrics) == 1 and np.isfinite(metrics[0]["loss"])
+    assert tr._step == 4  # 1 update x 2 decisions x window 2
+    # host shadow == device pose after the window (synced back)
+    for env in tr.envs.envs:
+        assert np.isfinite(env.sim.agent.x) and np.isfinite(env.sim.agent.z)
+    # a second update crosses the episode boundary (step 8) exactly at a
+    # window edge: envs reset and training continues
+    metrics = tr.train(num_updates=1, decisions_per_update=2, fused=True)
+    assert np.isfinite(metrics[-1]["loss"])
+
+
 def test_env_registry():
     from embodied_captioning_tpu.envs.registry import ENV_REGISTRY, make_env
 
