@@ -56,6 +56,13 @@ class SimConfig:
     forward_step: float = 0.25
     turn_angle_deg: float = 10.0
     replay_dir: Optional[str] = None  # for backend="replay"
+    # stress-eval axes (VERDICT r4 missing #4: the difficulty dimensions of
+    # photorealistic clutter the procedural sim can reproduce):
+    num_distractors: int = 0  # non-target clutter objects (class -1): the
+    #   detector must NOT fire on them; colors sampled from the target
+    #   classes' palettes so appearance cannot shortcut identity
+    interior_walls: int = 2   # occluding wall segments (partial occlusions)
+    tex_boost: float = 0.0    # added texture contrast (noise stress)
 
 
 @dataclass(frozen=True)

@@ -118,8 +118,9 @@ def generate_scene(cfg: SimConfig, seed: Optional[int] = None) -> Scene:
     add([-t, 0, size], [size + t, wall_h, size + t],
         tuple(0.95 * c for c in wall))
 
-    # a couple of interior wall segments for occlusion structure
-    for _ in range(2):
+    # interior wall segments for occlusion structure (cfg.interior_walls;
+    # the stress-eval corpus raises this for partial-occlusion pressure)
+    for _ in range(cfg.interior_walls):
         if rng.random() < 0.5:
             x0 = rng.uniform(0.25, 0.7) * size
             z0 = rng.uniform(0.1, 0.5) * size
@@ -194,6 +195,45 @@ def generate_scene(cfg: SimConfig, seed: Optional[int] = None) -> Scene:
             add([x, y0, z], [x + w, y0 + h, z + d], alb, cls, iid)
         iid += 1
 
+    # distractor clutter: non-target objects (class_id/instance_id -1, like
+    # structure) whose colors come from the TARGET classes' jittered
+    # palettes and whose footprints may sit flush against furniture — the
+    # detector must reject them on shape+context, and they partially
+    # occlude real objects (the reference evaluates amid Gibson/HM3D
+    # clutter; its occlusion-discard GT semantics are
+    # ref: envs/sensors.py:237-512)
+    placed_d = 0
+    tries = 0
+    while placed_d < cfg.num_distractors and tries < 200:
+        tries += 1
+        w = rng.uniform(0.3, 1.2)
+        h = rng.uniform(0.3, 1.3)
+        d = rng.uniform(0.3, 1.2)
+        x = rng.uniform(0.4, size - 0.4 - w)
+        z = rng.uniform(0.4, size - 0.4 - d)
+        # allow near-contact with furniture (occlusion pressure) but keep
+        # footprints from swallowing an object whole
+        rect = (x, z, x + w, z + d)
+        overlap = sum(
+            max(0.0, min(rect[2], r[2]) - max(rect[0], r[0]))
+            * max(0.0, min(rect[3], r[3]) - max(rect[1], r[1]))
+            for r in placed)
+        if overlap > 0.25 * w * d:
+            continue
+        base = np.asarray(_OBJ_COLORS[CLASS_NAMES[
+            int(rng.integers(0, NUM_CLASSES))]])
+        alb = tuple(np.clip(base * rng.uniform(0.55, 1.45)
+                            + rng.normal(0, 0.10, 3), 0.02, 0.98))
+        y0 = rng.uniform(0.0, 0.3) if rng.random() < 0.8 else rng.uniform(
+            0.5, 1.0)
+        add([x, y0, z], [x + w, y0 + h, z + d], alb)
+        if rng.random() < 0.4:  # stacked second box: composite clutter
+            sw, sd = w * rng.uniform(0.4, 0.8), d * rng.uniform(0.4, 0.8)
+            add([x + (w - sw) / 2, y0 + h, z + (d - sd) / 2],
+                [x + (w + sw) / 2, y0 + h + rng.uniform(0.2, 0.6),
+                 z + (d + sd) / 2], alb)
+        placed_d += 1
+
     n = len(mins)
     assert n <= cfg.max_boxes, f"scene has {n} boxes > capacity"
     pad = cfg.max_boxes - n
@@ -216,7 +256,8 @@ def generate_scene(cfg: SimConfig, seed: Optional[int] = None) -> Scene:
         upper=jnp.asarray([size + t, wall_h + t, size + t], jnp.float32),
         light_dir=jnp.asarray(light / np.linalg.norm(light)),
         ambient=jnp.asarray(rng.uniform(0.25, 0.5), jnp.float32),
-        tex_amp=jnp.asarray(rng.uniform(0.05, 0.22), jnp.float32),
+        tex_amp=jnp.asarray(rng.uniform(0.05, 0.22) + cfg.tex_boost,
+                            jnp.float32),
     )
 
 
