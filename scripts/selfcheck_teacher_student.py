@@ -102,7 +102,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--teacher", required=True,
                     help="pickle artifact from selfcheck_detector --save")
-    ap.add_argument("--modes", default="vanilla,soft,semantic_map")
+    ap.add_argument("--modes", default="vanilla,soft,semantic_map",
+                    help="consensus modes; semantic_map_hybrid = raytraced "
+                         "3D-consistent classes/logits with the teacher's "
+                         "frame-level masks+boxes grafted onto matched "
+                         "instances (VERDICT r4 weak #3 diagnosis arm), "
+                         "semantic_map_fine = 2.5 cm raytrace voxels")
+    ap.add_argument("--generations", type=int, default=1,
+                    help=">1 iterates the reference's loop: the gen-k "
+                         "student becomes the gen-(k+1) teacher, re-labels "
+                         "the SAME pool, and a fresh student trains "
+                         "(ref: pipelines.py:861-877 'the process can "
+                         "start again with a new iteration')")
     ap.add_argument("--scenes", type=int, default=128,
                     help="unlabeled scene pool (seeds 2000.. — disjoint "
                          "from the teacher's 0..~520 train pool and the "
@@ -188,44 +199,50 @@ def main() -> None:
           flush=True)
     t_cfg = dataclasses.replace(dcfg,
                                 score_threshold=args.teacher_threshold)
-    alloc = IdAllocator()
-    samples = []
-    t0 = time.time()
     paste = jax.jit(lambda det: DET.full_masks(det, size),
                     static_argnames=())
-    for i in range(0, len(pool), args.batch):
-        part = pool[i:i + args.batch]
-        images = jnp.asarray(np.stack([f["rgb"] for f in part]))
-        det = DET.forward(teacher, images, t_cfg, with_masks=True)
-        fmasks = np.asarray(paste(det) > 0.5)
-        for b, f in enumerate(part):
-            n = det.valid.shape[1]
-            pred = Sample(
-                image=f["rgb"], boxes=np.array(det.boxes[b]),
-                classes=np.array(det.classes[b]),
-                logits=np.array(det.logits[b]),
-                masks=fmasks[b].astype(np.float32),
-                valid=np.array(det.valid[b]),
-                scores=np.array(det.scores[b]),
-                object_ids=np.full((n,), -1, np.int64),
-                episode=int(f["episode"]), step=i + b,
-                depth=f["depth"], pose=f["pose"])
-            # association ids: IoU vs the pool's GT instances (the
-            # reference's matching role for bbsgt, never the labels)
-            gt = f["gt"]
-            iou = np.asarray(pairwise_iou(
-                jnp.asarray(pred.boxes), jnp.asarray(gt.boxes)))
-            iou = iou * np.asarray(gt.valid)[None, :]
-            gt_ids = np.asarray(gt.object_ids) if hasattr(
-                gt, "object_ids") and gt.object_ids is not None else None
-            for j in np.nonzero(pred.valid)[0]:
-                k = int(np.argmax(iou[j])) if iou.shape[1] else 0
-                if iou.shape[1] and iou[j, k] > 0.3:
-                    base = (gt_ids[k] if gt_ids is not None else k)
-                    pred.object_ids[j] = f["episode"] * 1000 + int(base)
-                else:
-                    pred.object_ids[j] = 5_000_000 + alloc.take(1)[0]
-            samples.append(pred)
+
+    def label_pool(teacher_params):
+        """Predict the pool with `teacher_params` + association ids (IoU vs
+        the pool's GT instances — the reference's matching role for bbsgt,
+        never the labels)."""
+        alloc = IdAllocator()
+        out = []
+        for i in range(0, len(pool), args.batch):
+            part = pool[i:i + args.batch]
+            images = jnp.asarray(np.stack([f["rgb"] for f in part]))
+            det = DET.forward(teacher_params, images, t_cfg, with_masks=True)
+            fmasks = np.asarray(paste(det) > 0.5)
+            for b, f in enumerate(part):
+                n = det.valid.shape[1]
+                pred = Sample(
+                    image=f["rgb"], boxes=np.array(det.boxes[b]),
+                    classes=np.array(det.classes[b]),
+                    logits=np.array(det.logits[b]),
+                    masks=fmasks[b].astype(np.float32),
+                    valid=np.array(det.valid[b]),
+                    scores=np.array(det.scores[b]),
+                    object_ids=np.full((n,), -1, np.int64),
+                    episode=int(f["episode"]), step=i + b,
+                    depth=f["depth"], pose=f["pose"])
+                gt = f["gt"]
+                iou = np.asarray(pairwise_iou(
+                    jnp.asarray(pred.boxes), jnp.asarray(gt.boxes)))
+                iou = iou * np.asarray(gt.valid)[None, :]
+                gt_ids = np.asarray(gt.object_ids) if hasattr(
+                    gt, "object_ids") and gt.object_ids is not None else None
+                for j in np.nonzero(pred.valid)[0]:
+                    k = int(np.argmax(iou[j])) if iou.shape[1] else 0
+                    if iou.shape[1] and iou[j, k] > 0.3:
+                        base = (gt_ids[k] if gt_ids is not None else k)
+                        pred.object_ids[j] = f["episode"] * 1000 + int(base)
+                    else:
+                        pred.object_ids[j] = 5_000_000 + alloc.take(1)[0]
+                out.append(pred)
+        return out
+
+    t0 = time.time()
+    samples = label_pool(teacher)
     n_pred = int(sum(s.valid.sum() for s in samples))
     print(f"[ts] teacher labeled {n_pred} detections over {len(samples)} "
           f"frames ({time.time() - t0:.0f}s)", flush=True)
@@ -280,59 +297,99 @@ def main() -> None:
                       flush=True)
         return params
 
-    def clone_samples(subset=None):
+    def clone_samples(src, subset=None):
         return [Sample(
             image=s.image, boxes=s.boxes.copy(), classes=s.classes.copy(),
             logits=s.logits.copy(), masks=s.masks, valid=s.valid.copy(),
             scores=(s.scores.copy() if s.scores is not None else None),
             object_ids=s.object_ids.copy(), episode=s.episode, step=s.step,
-            depth=s.depth, pose=s.pose) for s in (subset or samples)]
+            depth=s.depth, pose=s.pose) for s in (subset or src)]
 
     # consensus stages never call predict(), so no Perceiver is needed —
     # a truthy sentinel skips the base class's eager construction
     _NO_PERCEIVER = object()
 
+    def graft_frame_masks(pseudo, src):
+        """semantic_map_hybrid: keep the raytraced consensus CLASSES/LOGITS
+        (3D-consistent identity) but graft the teacher's frame-level
+        masks+boxes onto matched instances (box IoU > 0.3) — raytraced 5 cm
+        masks lose box/mask fidelity (round-4 diagnosis, docs/BENCH.md);
+        unmatched pseudo-instances keep the raytraced geometry."""
+        by_key = {(s.episode, s.step): s for s in src}
+        for p in pseudo:
+            s = by_key.get((p.episode, p.step))
+            if s is None or not s.valid.any():
+                continue
+            iou = np.asarray(pairwise_iou(jnp.asarray(p.boxes),
+                                          jnp.asarray(s.boxes)))
+            iou = iou * s.valid[None, :]
+            for j in np.nonzero(p.valid)[0]:
+                k = int(np.argmax(iou[j])) if iou.shape[1] else 0
+                if iou.shape[1] and iou[j, k] > 0.3:
+                    p.boxes[j] = s.boxes[k]
+                    p.masks[j] = s.masks[k]
+        return pseudo
+
+    def consensus(mode, src):
+        """Consensus-labeled pseudo dataset + the matching student head."""
+        if mode == "vanilla":
+            return VanillaConsensusLabeler(
+                cfg, perceiver=_NO_PERCEIVER).get_pseudo_labels(
+                    clone_samples(src)), "ce"
+        if mode == "soft":
+            return SoftConsensusLabeler(
+                cfg, perceiver=_NO_PERCEIVER).get_pseudo_labels(
+                    clone_samples(src)), "soft"
+        if mode in ("semantic_map", "semantic_map_hybrid",
+                    "semantic_map_fine"):
+            c = cfg
+            if mode == "semantic_map_fine":
+                # 2.5 cm raytrace voxels (2x finer masks; grid doubled to
+                # keep the same 12.8 m coverage). ~2.4 GB of map state —
+                # viable only because maps are per-episode sequential
+                c = merge(cfg, {"map": {"voxel_size": 0.025,
+                                        "grid": (512, 128, 512)}})
+            # one full-size voxel map per episode: fuse + raytrace each
+            # episode's frames in turn and FREE the map before the next —
+            # 128 concurrent full maps exhaust the 16 GB chip
+            pseudo = []
+            by_ep = {}
+            for s_ in src:
+                by_ep.setdefault(s_.episode, []).append(s_)
+            for ep in sorted(by_ep):
+                lab = SemanticMapConsensusLabeler(c, perceiver=_NO_PERCEIVER)
+                pseudo += lab.get_pseudo_labels(
+                    clone_samples(src, by_ep[ep]))
+                lab.global_maps.clear()
+            if mode == "semantic_map_hybrid":
+                pseudo = graft_frame_masks(pseudo, src)
+            return pseudo, "ce"
+        raise ValueError(mode)
+
     results = {"teacher_map50": round(teacher_map, 4),
                "eval_sha": eval_sha, "pool_frames": len(samples),
                "teacher_detections": n_pred, "steps": args.steps,
-               "scenes": args.scenes}
+               "scenes": args.scenes, "generations": args.generations}
     for mode in args.modes.split(","):
-        t0 = time.time()
-        if mode == "vanilla":
-            labeler = VanillaConsensusLabeler(cfg, perceiver=_NO_PERCEIVER)
-            head = "ce"
-        elif mode == "soft":
-            labeler = SoftConsensusLabeler(cfg, perceiver=_NO_PERCEIVER)
-            head = "soft"
-        elif mode == "semantic_map":
-            labeler = None  # per-episode below
-            head = "ce"
-        else:
-            raise ValueError(mode)
-        if mode == "semantic_map":
-            # one full-size voxel map per episode: fuse + raytrace each
-            # episode's frames in turn and FREE the map before the next —
-            # 128 concurrent 256x64x256 maps exhaust the 16 GB chip
-            pseudo = []
-            by_ep = {}
-            for s_ in samples:
-                by_ep.setdefault(s_.episode, []).append(s_)
-            for ep in sorted(by_ep):
-                lab = SemanticMapConsensusLabeler(cfg,
-                                                  perceiver=_NO_PERCEIVER)
-                pseudo += lab.get_pseudo_labels(clone_samples(by_ep[ep]))
-                lab.global_maps.clear()
-        else:
-            pseudo = labeler.get_pseudo_labels(clone_samples())
-        pseudo = [p for p in pseudo if p.valid.any()]
-        if not pseudo:
-            results[f"student_{mode}_map50"] = None
-            continue
-        student = train_student(pseudo, head)
-        m = eval_map(student)
-        results[f"student_{mode}_map50"] = round(m, 4)
-        print(f"[ts] mode={mode}: student unseen mAP@50 {m:.4f} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+        cur = samples  # gen-1 teacher labels (shared across modes)
+        for gen in range(1, args.generations + 1):
+            t0 = time.time()
+            pseudo, head = consensus(mode, cur)
+            pseudo = [p for p in pseudo if p.valid.any()]
+            tag = (f"student_{mode}_map50" if gen == 1
+                   else f"student_{mode}_gen{gen}_map50")
+            if not pseudo:
+                results[tag] = None
+                break
+            student = train_student(pseudo, head)
+            m = eval_map(student)
+            results[tag] = round(m, 4)
+            print(f"[ts] mode={mode} gen={gen}: student unseen mAP@50 "
+                  f"{m:.4f} ({time.time() - t0:.0f}s)", flush=True)
+            if gen < args.generations:
+                # the student becomes the next generation's teacher
+                # (ref: pipelines.py:861-877) and re-labels the SAME pool
+                cur = label_pool(student)
     print(json.dumps(results))
 
 
