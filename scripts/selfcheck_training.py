@@ -41,20 +41,32 @@ def _color_word(albedo) -> str:
 
 
 def collect(cfg, episodes, steps, seed0, max_crops):
+    """GT caption crops over `episodes` scenes — batched: all walks happen
+    on host first, then (scene, pose) chunks render+detect+crop in ONE
+    launch each under lax.map (the detector corpus collector's shape;
+    per-frame observe() RPCs made >1k-crop corpora hours-long through the
+    tunnel, VERDICT r4 weak #6). Crop capacity 8/frame, filtered on host.
+    """
+    import functools as _ft
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from embodied_captioning_tpu.config import CLASS_NAMES
-    from embodied_captioning_tpu.envs.sim import RaycastSim
+    from embodied_captioning_tpu.envs.sim import (
+        RaycastSim, gt_detections, render, resolve_attr_mode,
+    )
     from embodied_captioning_tpu.ops.detections import expand_boxes
     from embodied_captioning_tpu.ops.image import crop_and_resize
 
     size = cfg.captioner.vision.image_size
-    crops, caps, classes = [], [], []
+    sensor = cfg.sensors.height
     rng = np.random.default_rng(seed0)
+    sims, jobs, albedos = [], [], []
     for ep in range(episodes):
         sim = RaycastSim(cfg.sim, cfg.sensors, seed=seed0 + ep)
+        sims.append(sim)
         # composite furniture spans several boxes per instance id; the
         # FIRST box is the primary part (seat/mattress/top), so its albedo
         # names the object's color
@@ -63,28 +75,50 @@ def collect(cfg, episodes, steps, seed0, max_crops):
                         np.asarray(sim.scene.albedo)):
             if i >= 0 and int(i) not in albedo_by_iid:
                 albedo_by_iid[int(i)] = a
+        albedos.append(albedo_by_iid)
         for _ in range(steps):
             for _ in range(int(rng.integers(2, 6))):
                 sim.step(int(rng.integers(1, 4)))
-            obs = sim.observe()
-            det = sim.gt_detections(obs, max_instances=8)
-            v = np.asarray(det.valid)
-            if not v.any():
-                continue
-            boxes = np.asarray(det.boxes)
-            cls = np.asarray(det.classes)
-            iids = np.asarray(det.object_ids)
-            h, w = cfg.sensors.height, cfg.sensors.width
-            rgb = jnp.asarray(obs["rgb"], jnp.float32)
-            for i in np.nonzero(v)[0]:
-                eb = expand_boxes(jnp.asarray(boxes[i][None], jnp.float32),
-                                  0.2, h, w)
-                crop = crop_and_resize(rgb, eb, size)[0]
-                color = _color_word(albedo_by_iid.get(int(iids[i]),
-                                                      (0.5, 0.4, 0.3)))
-                crops.append(np.asarray(crop, np.uint8))
-                caps.append(f"a {color} {CLASS_NAMES[int(cls[i])]}")
-                classes.append(int(cls[i]))
+            jobs.append((ep, np.asarray(sim.agent.camera_matrix(),
+                                        np.float32)))
+
+    min_px = max(50, (sensor * cfg.sensors.width) // 2184)
+    mode = resolve_attr_mode(None, sensor, cfg.sensors.width)
+
+    @jax.jit
+    def render_chunk(scenes, poses):
+        def per_frame(args):
+            scene, pose = args
+            out = render(scene, pose, sensor, cfg.sensors.width,
+                         cfg.sensors.hfov_deg, cfg.sensors.max_depth, mode)
+            det = gt_detections(out["instances"], out["classes"],
+                                max_instances=8, min_pixels=min_px)
+            eb = expand_boxes(det.boxes, 0.2, sensor, cfg.sensors.width)
+            crops8 = crop_and_resize(out["rgb"].astype(jnp.float32), eb,
+                                     size)
+            return (jnp.clip(crops8, 0, 255).astype(jnp.uint8),
+                    det.classes, det.object_ids, det.valid)
+
+        return jax.lax.map(per_frame, (scenes, poses))
+
+    # lax.map peaks at ONE frame's renderer slab regardless of chunk; the
+    # chunk size only trades launch count against host-side stacking
+    chunk = 16 if sensor >= 1024 else 64
+    crops, caps, classes = [], [], []
+    for i in range(0, len(jobs), chunk):
+        part = jobs[i:i + chunk]
+        scenes = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[sims[e].scene for e, _ in part])
+        poses = jnp.asarray(np.stack([p for _, p in part]))
+        c8, cls8, iid8, v8 = jax.tree_util.tree_map(
+            np.asarray, render_chunk(scenes, poses))
+        for b, (ep, _) in enumerate(part):
+            for j in np.nonzero(v8[b])[0]:
+                color = _color_word(albedos[ep].get(int(iid8[b, j]),
+                                                    (0.5, 0.4, 0.3)))
+                crops.append(c8[b, j])
+                caps.append(f"a {color} {CLASS_NAMES[int(cls8[b, j])]}")
+                classes.append(int(cls8[b, j]))
                 if len(crops) >= max_crops:
                     return crops, caps, classes
     return crops, caps, classes
@@ -94,9 +128,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny")
     ap.add_argument("--train-crops", type=int, default=192)
+    ap.add_argument("--train-scenes", type=int, default=6,
+                    help="training scene pool (seeds 0..N-1; the detector "
+                         "protocol trains on hundreds of scenes — the "
+                         "captioner corpus scales the same way, VERDICT "
+                         "r4 weak #6)")
+    ap.add_argument("--train-steps-per-scene", type=int, default=12)
+    ap.add_argument("--train-cache", default=None,
+                    help="npz path for the train-crop corpus: collect once, "
+                         "reuse across seeds (identical bytes)")
     ap.add_argument("--test-crops", type=int, default=32)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--scan-steps", type=int, default=1,
+                    help="fuse K train steps per device launch (lax.scan "
+                         "over device-resident corpus gathers) — per-launch "
+                         "tunnel RPC latency otherwise dominates small "
+                         "steps (the detector rungs' --scan-steps)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--speculative", action="store_true",
                     help="also time speculative vs greedy decode on the "
@@ -135,7 +183,20 @@ def main() -> None:
 
     cfg = load_config(args.preset, overrides=list(args.overrides))
     t0 = time.time()
-    tr_crops, tr_caps, _ = collect(cfg, 6, 12, 0, args.train_crops)
+    if args.train_cache and os.path.exists(args.train_cache):
+        z = np.load(args.train_cache, allow_pickle=False)
+        tr_crops = list(z["crops"])
+        tr_caps = [str(s) for s in z["caps"]]
+        print(f"[selfcheck] train corpus loaded from {args.train_cache}",
+              flush=True)
+    else:
+        tr_crops, tr_caps, _ = collect(cfg, args.train_scenes,
+                                       args.train_steps_per_scene, 0,
+                                       args.train_crops)
+        if args.train_cache:
+            np.savez_compressed(args.train_cache,
+                                crops=np.stack(tr_crops),
+                                caps=np.asarray(tr_caps))
     if args.eval_cache and os.path.exists(args.eval_cache):
         z = np.load(args.eval_cache, allow_pickle=False)
         te_crops = list(z["crops"])
@@ -160,6 +221,7 @@ def main() -> None:
         print(json.dumps({"error": "not enough crops"}))
         return
 
+    assert args.eval_seed >= args.train_scenes, "eval scenes leak into train"
     ccfg = cfg.captioner
     tok = default_tokenizer(ccfg.text.vocab_size)
     params = init_captioner(jax.random.PRNGKey(args.seed), ccfg)
@@ -171,20 +233,60 @@ def main() -> None:
     t0 = time.time()
     first = last = None
     step_times = []
-    for step in range(args.steps):
-        sel = rng.choice(n, args.batch, replace=False)
-        ts = time.time()
-        state, aux = train_step(state, jnp.asarray(images[sel]),
-                                jnp.asarray(tokens[sel]),
-                                jnp.zeros(args.batch, jnp.int32),
-                                jnp.ones(args.batch, bool), ccfg, lr=args.lr)
-        loss = float(aux["loss"])  # host readback fences the step
-        if step > 0:
-            step_times.append(time.time() - ts)
-        first = first if first is not None else loss
-        last = loss
-        if step % 50 == 0:
-            print(f"  step {step}: loss={loss:.3f}", flush=True)
+    if args.scan_steps > 1:
+        # device-resident corpus + K steps fused per launch: the corpus
+        # ships once (jit ARG, not a captured constant — closure capture
+        # embeds it in the HLO and the remote-compile request, CLAUDE.md),
+        # indices [K, B] per launch, ONE loss readback per window
+        import functools as _ft
+
+        from embodied_captioning_tpu.train.captioner_train import (
+            train_step as _ts,
+        )
+
+        @_ft.partial(jax.jit, static_argnames=("ccfg_", "lr_"),
+                     donate_argnums=(0,))
+        def train_window(state, corpus_img, corpus_tok, idx, ccfg_, lr_):
+            def body(st, ix):
+                st, aux = _ts(st, corpus_img[ix], corpus_tok[ix],
+                              jnp.zeros(ix.shape[0], jnp.int32),
+                              jnp.ones(ix.shape[0], bool), ccfg_, lr=lr_)
+                return st, aux["loss"]
+            return jax.lax.scan(body, state, idx)
+
+        corpus_img = jnp.asarray(images)
+        corpus_tok = jnp.asarray(tokens)
+        step = 0
+        while step < args.steps:
+            k = min(args.scan_steps, args.steps - step)
+            idx = np.stack([rng.choice(n, args.batch, replace=False)
+                            for _ in range(k)])
+            ts = time.time()
+            state, losses = train_window(state, corpus_img, corpus_tok,
+                                         jnp.asarray(idx), ccfg, args.lr)
+            losses = np.asarray(losses)  # fences the window
+            if step > 0:
+                step_times += [(time.time() - ts) / k] * k
+            first = first if first is not None else float(losses[0])
+            last = float(losses[-1])
+            print(f"  step {step}: loss={last:.3f}", flush=True)
+            step += k
+    else:
+        for step in range(args.steps):
+            sel = rng.choice(n, args.batch, replace=False)
+            ts = time.time()
+            state, aux = train_step(state, jnp.asarray(images[sel]),
+                                    jnp.asarray(tokens[sel]),
+                                    jnp.zeros(args.batch, jnp.int32),
+                                    jnp.ones(args.batch, bool), ccfg,
+                                    lr=args.lr)
+            loss = float(aux["loss"])  # host readback fences the step
+            if step > 0:
+                step_times.append(time.time() - ts)
+            first = first if first is not None else loss
+            last = loss
+            if step % 50 == 0:
+                print(f"  step {step}: loss={loss:.3f}", flush=True)
     print(f"[selfcheck] trained {args.steps} steps in "
           f"{time.time() - t0:.0f}s", flush=True)
     step_ms = (1000.0 * sorted(step_times)[len(step_times) // 2]
