@@ -19,6 +19,7 @@ run_rung() {
     --lr-schedule cosine --ema 0.999 \
     --eval-cache "/tmp/det_eval_serving_${IMG}px.npz" --tta \
     --eval-serving --calibrate --affine-finetune 400 --pack-masks \
+    --ckpt "/tmp/det_ckpt_${IMG}px_s${SEED}_b${BATCH}.pkl" \
     --train-cache "/tmp/det_train_serving_${IMG}px_384sc.npz" \
     --save "/tmp/det_serving_${IMG}px_s${SEED}.pkl" \
     --episodes 384 --steps "$STEPS" --seed "$SEED" \
@@ -32,16 +33,34 @@ run_rung() {
   return $RC
 }
 
+retry_rung() {
+  # tunnel outages come in waves; --ckpt makes retries resume, so just
+  # keep relaunching (bounded) until the rung completes
+  local TRIES=0
+  until run_rung "$@"; do
+    TRIES=$((TRIES + 1))
+    if [ "$TRIES" -ge 6 ]; then
+      echo "!!! rung $* failed $TRIES times, giving up" >> "$OUT"
+      return 1
+    fi
+    if grep -q "RESOURCE_EXHAUSTED" "$OUT" && [ "$1" = 512 ]; then
+      return 1  # OOM: caller handles the batch fallback
+    fi
+    echo "... retry $TRIES for rung $* $(date -u +%H:%M:%S)" >> "$OUT"
+    sleep 90
+  done
+}
+
 echo "r5_resolution start $(date -u)" >> "$OUT"
 # 384^2: two seeds at the full 16k-step serving recipe
-run_rung 384 0 16 16000
-run_rung 384 1 16 16000
+retry_rung 384 0 16 16000
+retry_rung 384 1 16 16000
 # 512^2: one seed (4x the 256^2 train cost); on OOM retry at batch 8 with
 # proportionally more steps (same sample budget)
-if ! run_rung 512 0 16 16000; then
+if ! retry_rung 512 0 16 16000; then
   if grep -q "RESOURCE_EXHAUSTED" "$OUT"; then
     echo "=== 512 OOM at batch 16 -> batch 8 / 24k steps ===" >> "$OUT"
-    run_rung 512 0 8 24000
+    retry_rung 512 0 8 24000
   fi
 fi
 echo "r5_resolution done $(date -u)" >> "$OUT"

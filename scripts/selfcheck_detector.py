@@ -240,6 +240,13 @@ def main() -> None:
                          "mAP of the affine artifact AND of the full "
                          "serving transform (calibrate -> fold_affine -> "
                          "int8) — the exact params a serving bench runs")
+    ap.add_argument("--ckpt", default=None,
+                    help="mid-run checkpoint pickle (device-train path): "
+                         "params/EMA/opt-state/RNG saved every "
+                         "--ckpt-every steps and auto-resumed when the "
+                         "file exists — long rungs survive the tunnel's "
+                         "outage waves")
+    ap.add_argument("--ckpt-every", type=int, default=4000)
     ap.add_argument("--affine-finetune", type=int, default=0,
                     help="after --calibrate: N train steps under the "
                          "frozen affine norm (re-adapts weights to the "
@@ -561,6 +568,37 @@ def main() -> None:
         ema_params = params
         k_scan = max(1, args.scan_steps)
         s = 0
+        if args.ckpt and os.path.exists(args.ckpt):
+            import pickle as _pkl
+
+            with open(args.ckpt, "rb") as fh:
+                ck = _pkl.load(fh)
+            params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+            ema_params = jax.tree_util.tree_map(jnp.asarray, ck["ema"])
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                ck["opt_state"])
+            key = jnp.asarray(ck["key"])
+            rng.bit_generator.state = ck["rng_state"]
+            s = ck["step"]
+            print(f"[selfcheck-det] resumed from {args.ckpt} at step {s}",
+                  flush=True)
+
+        def save_ckpt(step_now):
+            import pickle as _pkl
+
+            host = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa
+            tmp = args.ckpt + ".tmp"
+            with open(tmp, "wb") as fh:
+                _pkl.dump({"step": step_now, "params": host(params),
+                           "ema": host(ema_params),
+                           "opt_state": host(opt_state),
+                           "key": np.asarray(key),
+                           "rng_state": rng.bit_generator.state}, fh)
+            os.replace(tmp, args.ckpt)
+            print(f"[selfcheck-det] checkpoint @ step {step_now}",
+                  flush=True)
+
         while s < args.steps:
             k = min(k_scan, args.steps - s)
             if k == 1:
@@ -584,6 +622,10 @@ def main() -> None:
                 first = first if first is not None else float(losses[0])
                 last = l
                 print(f"  step {s + k - 1}: loss={l:.3f}", flush=True)
+            if (args.ckpt and args.ckpt_every
+                    and (s // args.ckpt_every) != ((s + k)
+                                                   // args.ckpt_every)):
+                save_ckpt(s + k)
             s += k
     else:
         for s in range(args.steps):
