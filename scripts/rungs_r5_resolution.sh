@@ -14,7 +14,8 @@ cd "$(dirname "$0")/.."
 run_rung() {
   local IMG="$1" SEED="$2" BATCH="$3" STEPS="$4"
   echo "=== r5 img=$IMG seed=$SEED batch=$BATCH $(date -u +%H:%M:%S) ===" >> "$OUT"
-  timeout 14000 python scripts/selfcheck_detector.py \
+  bash scripts/stall_guard.sh "$OUT" 900 \
+    timeout 14000 python scripts/selfcheck_detector.py \
     --split scenes --batch "$BATCH" --device-train --augment --augment-crop \
     --lr-schedule cosine --ema 0.999 \
     --eval-cache "/tmp/det_eval_serving_${IMG}px.npz" --tta \
@@ -26,8 +27,7 @@ run_rung() {
     sensors.height=1280 sensors.width=1280 \
     "detector.image_size=$IMG" detector.block=bottleneck \
     "detector.backbone_depths=[3,4,6,3]" detector.backbone_width=64 \
-    detector.fpn_dim=256 detector.min_level=1 detector.add_p6=true \
-    >> "$OUT" 2>&1
+    detector.fpn_dim=256 detector.min_level=1 detector.add_p6=true
   local RC=$?
   echo "--- rc=$RC $(date -u +%H:%M:%S)" >> "$OUT"
   return $RC
