@@ -134,10 +134,12 @@ def camera_poses(state: LoopState) -> jnp.ndarray:
 
 def _render_scan(scenes: Scene, poses: jnp.ndarray, cfg: ExperimentConfig,
                  want_depth: bool):
-    """Memory-bounded batch render inside a scan body: `lax.map` the
-    per-env render (the [H, W, n_boxes] slab-test intermediates are
-    ~20 B/ray/box — vmapping the whole batch OOMs at 1280^2, CLAUDE.md),
-    keeping only the channels the loop consumes."""
+    """Memory-bounded batch render inside a scan body. Large frames go
+    through `lax.map` per env (the [H, W, n_boxes] slab-test intermediates
+    are ~20 B/ray/box — vmapping the whole batch OOMs at 1280^2,
+    CLAUDE.md); small frames vmap, which also keeps a sharded env axis
+    parallel across chips (lax.map's sequential slicing would serialize
+    it)."""
     s = cfg.sensors
 
     def one(args):
@@ -148,6 +150,9 @@ def _render_scan(scenes: Scene, poses: jnp.ndarray, cfg: ExperimentConfig,
             return out["rgb"], out["depth"], out["instances"], out["classes"]
         return out["rgb"]
 
+    slab = s.height * s.width * scenes.box_min.shape[-2] * 20
+    if slab <= 256 << 20:
+        return jax.vmap(lambda sc, p: one((sc, p)))(scenes, poses)
     return jax.lax.map(one, (scenes, poses))
 
 
