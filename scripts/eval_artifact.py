@@ -107,14 +107,22 @@ def main() -> None:
                                        args.stress_seed, stress=True)
 
     # ---- param variants --------------------------------------------------
-    variants = {}
+    variants = {}  # name -> (params, norm override or None)
     if "params" in artifact:  # full save: raw/EMA f32 weights available
         best = (artifact.get("ema") if artifact.get("best") == "ema"
                 else None) or artifact["params"]
-        variants["best"] = jax.tree_util.tree_map(jnp.asarray, best)
+        # raw/EMA weights were TRAINED under train_cfg's norm (gn) — the
+        # serving_cfg may say affine (for the calibrated artifact); pick
+        # the norm that matches the weights being evaluated
+        train_norm = (artifact.get("train_cfg") or {}).get("norm", "gn")
+        variants["best"] = (jax.tree_util.tree_map(jnp.asarray, best),
+                            train_norm)
+        if artifact.get("affine") is not None:
+            variants["affine"] = (jax.tree_util.tree_map(
+                jnp.asarray, artifact["affine"]), "affine")
     if "served" in artifact:  # compact export: as-served (folded + int8)
-        variants["served_int8"] = jax.tree_util.tree_map(
-            jnp.asarray, artifact["served"])
+        variants["served_int8"] = (jax.tree_util.tree_map(
+            jnp.asarray, artifact["served"]), None)
 
     def batch_of(frames, idx):
         images = jnp.asarray(np.stack([frames[i][0] for i in idx]))
@@ -147,10 +155,12 @@ def main() -> None:
         out["corpora"][cname] = {"frames": len(frames),
                                  "sha": corpus_checksum(frames)}
         row = {}
-        for vname, params in variants.items():
+        for vname, (params, norm) in variants.items():
+            vcfg = (dataclasses.replace(eval_cfg, norm=norm)
+                    if norm else eval_cfg)
             t0 = time.time()
-            row[vname] = eval_map(params, frames, False, eval_cfg)
-            row[vname + "_tta"] = eval_map(params, frames, True, eval_cfg)
+            row[vname] = eval_map(params, frames, False, vcfg)
+            row[vname + "_tta"] = eval_map(params, frames, True, vcfg)
             print(f"[eval] {cname}/{vname}: {row[vname]} "
                   f"(tta {row[vname + '_tta']}) {time.time() - t0:.0f}s",
                   flush=True)
